@@ -1,0 +1,226 @@
+"""Generic multi-limb Montgomery field arithmetic over a prime modulus.
+
+A :class:`FieldCtx` packages the per-modulus constants (limbs of p, the
+Montgomery factor n0' = -p^-1 mod 2^16, R and R^2 mod p) together with
+batched JAX ops. All ops operate on ``uint32[..., 16]`` arrays in the
+Montgomery domain and broadcast over leading batch axes, so a single call
+vectorizes thousands of independent field operations across the VPU —
+the TPU-native replacement for the reference's per-element bigint loops
+(e.g. ``scripts/rlwe_keygen.py:32-42``, ``client/merkle.ts``).
+
+Design notes (SURVEY.md §7.3, hard part #1):
+
+- 16x16-bit limb products fit exactly in a uint32 lane — no 64-bit multiply
+  needed anywhere.
+- Multiplication is product-scanning (schoolbook columns) into a 33-column
+  uint32 accumulator where every column stays < 2^22, followed by an
+  interleaved Montgomery reduction (16 sequential m_i = acc_i * n0' steps).
+- Exponentiation (inversion via Fermat) runs as a `lax.scan` over exponent
+  bits so the traced graph stays small.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass, field
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpu_zkpool.fields.limbs import NLIMB, WBITS, MASK, int_to_limbs, ints_to_limbs, limbs_to_ints
+from tpu_zkpool.fields import bn254
+
+U32 = jnp.uint32
+
+
+def _np_u32(x) -> np.ndarray:
+    return np.asarray(x, dtype=np.uint32)
+
+
+@dataclass(frozen=True)
+class FieldCtx:
+    """Montgomery arithmetic context for a prime modulus p < 2^(16*NLIMB - 2)."""
+
+    modulus: int
+    name: str = "F"
+
+    # Derived (filled in __post_init__ via object.__setattr__).
+    p_limbs: np.ndarray = field(init=False, repr=False)
+    n0: int = field(init=False)          # -p^-1 mod 2^16
+    r_mod_p: int = field(init=False)     # 2^256 mod p  (Montgomery R)
+    r2_mod_p: int = field(init=False)    # R^2 mod p
+    r_inv: int = field(init=False)       # R^-1 mod p
+
+    def __post_init__(self):
+        p = self.modulus
+        assert p % 2 == 1 and p < 1 << (WBITS * NLIMB - 2)
+        object.__setattr__(self, "p_limbs", int_to_limbs(p))
+        p_inv_w = pow(p, -1, 1 << WBITS)
+        object.__setattr__(self, "n0", ((1 << WBITS) - p_inv_w) % (1 << WBITS))
+        R = 1 << (WBITS * NLIMB)
+        object.__setattr__(self, "r_mod_p", R % p)
+        object.__setattr__(self, "r2_mod_p", (R * R) % p)
+        object.__setattr__(self, "r_inv", pow(R, -1, p))
+
+    # ---------------------------------------------------------------- host IO
+
+    def to_mont(self, xs) -> np.ndarray:
+        """Python ints (any nesting) -> Montgomery-domain limbs uint32[...,16]."""
+        xs = np.asarray(xs, dtype=object)
+        R = 1 << (WBITS * NLIMB)
+        flat = [(int(v) % self.modulus) * R % self.modulus for v in xs.reshape(-1)]
+        return ints_to_limbs(np.asarray(flat, dtype=object).reshape(xs.shape))
+
+    def from_mont(self, limbs) -> np.ndarray:
+        """Montgomery-domain limbs -> object ndarray of canonical ints."""
+        vals = limbs_to_ints(np.asarray(limbs))
+        flat = [int(v) * self.r_inv % self.modulus for v in vals.reshape(-1)]
+        return np.asarray(flat, dtype=object).reshape(vals.shape)
+
+    def zeros(self, shape=()) -> jnp.ndarray:
+        return jnp.zeros(shape + (NLIMB,), dtype=U32)
+
+    def ones_mont(self, shape=()) -> jnp.ndarray:
+        """Montgomery-domain 1 (= R mod p), broadcast to shape."""
+        one = jnp.asarray(int_to_limbs(self.r_mod_p), dtype=U32)
+        return jnp.broadcast_to(one, shape + (NLIMB,))
+
+    # ------------------------------------------------------------ primitives
+
+    @property
+    def _pj(self) -> jnp.ndarray:
+        return jnp.asarray(self.p_limbs, dtype=U32)
+
+    def _borrow_sub(self, a, b):
+        """(a - b) over 16 limbs; returns (diff, borrow_out) with borrow 0/1."""
+        # Two's-complement style: per-limb diff with sequential borrow chain.
+        diff = []
+        borrow = jnp.zeros(a.shape[:-1], dtype=U32)
+        for i in range(NLIMB):
+            d = a[..., i] - b[..., i] - borrow
+            # Underflow detection: if a_i < b_i + borrow, uint32 wraps; the
+            # result's upper bits are all 1s iff a borrow happened (operands
+            # are < 2^16 so any wrap puts d >= 2^31).
+            borrow = d >> 31
+            diff.append(d & MASK)
+        return jnp.stack(diff, axis=-1), borrow
+
+    def _cond_sub_p(self, a):
+        """a - p if a >= p else a; a must be < 2p and fit in 16 limbs."""
+        diff, borrow = self._borrow_sub(a, jnp.broadcast_to(self._pj, a.shape))
+        take_diff = (borrow == 0)[..., None]
+        return jnp.where(take_diff, diff, a)
+
+    # ------------------------------------------------------------ public ops
+
+    def add(self, a, b):
+        """Modular addition (works in either domain)."""
+        s = []
+        carry = jnp.zeros(jnp.broadcast_shapes(a.shape[:-1], b.shape[:-1]), dtype=U32)
+        for i in range(NLIMB):
+            v = a[..., i] + b[..., i] + carry
+            s.append(v & MASK)
+            carry = v >> WBITS
+        # a + b < 2p < 2^255 so carry out of limb 15 is impossible for
+        # canonical inputs (p < 2^254).
+        return self._cond_sub_p(jnp.stack(s, axis=-1))
+
+    def sub(self, a, b):
+        """Modular subtraction."""
+        diff, borrow = self._borrow_sub(a, b)
+        # If borrowed, add p back.
+        padd = []
+        carry = jnp.zeros_like(borrow)
+        for i in range(NLIMB):
+            v = diff[..., i] + self._pj[i] + carry
+            padd.append(v & MASK)
+            carry = v >> WBITS
+        padd = jnp.stack(padd, axis=-1)
+        return jnp.where((borrow == 1)[..., None], padd, diff)
+
+    def neg(self, a):
+        """Modular negation (p - a, with -0 = 0)."""
+        diff, _ = self._borrow_sub(jnp.broadcast_to(self._pj, a.shape), a)
+        is_zero = jnp.all(a == 0, axis=-1, keepdims=True)
+        return jnp.where(is_zero, jnp.zeros_like(a), diff)
+
+    def mont_mul(self, a, b):
+        """Montgomery product: a * b * R^-1 mod p.
+
+        Both inputs uint32[..., 16]; leading axes broadcast.
+        """
+        bshape = jnp.broadcast_shapes(a.shape[:-1], b.shape[:-1])
+        a = jnp.broadcast_to(a, bshape + (NLIMB,))
+        b = jnp.broadcast_to(b, bshape + (NLIMB,))
+
+        # --- product scanning: acc columns < 2^21 ---
+        acc = jnp.zeros(bshape + (2 * NLIMB + 1,), dtype=U32)
+        for i in range(NLIMB):
+            prod = a[..., i : i + 1] * b  # (..., 16) full 32-bit products
+            acc = acc.at[..., i : i + NLIMB].add(prod & MASK)
+            acc = acc.at[..., i + 1 : i + NLIMB + 1].add(prod >> WBITS)
+
+        # --- interleaved Montgomery reduction ---
+        n0 = np.uint32(self.n0)
+        pj = self._pj
+        for i in range(NLIMB):
+            m = (acc[..., i] * n0) & MASK
+            mprod = m[..., None] * pj  # (..., 16)
+            acc = acc.at[..., i : i + NLIMB].add(mprod & MASK)
+            acc = acc.at[..., i + 1 : i + NLIMB + 1].add(mprod >> WBITS)
+            # Column i is now ≡ 0 mod 2^16; push its carry up and retire it.
+            acc = acc.at[..., i + 1].add(acc[..., i] >> WBITS)
+
+        # --- final carry propagation over the upper half ---
+        # The reduced value T = (a*b + sum m_i p 2^(16i)) / 2^256 < 2p < 2^255
+        # lives in columns 16..31 (column 32 is never written), so the carry
+        # out of limb 15 is mathematically zero and is dropped.
+        out = []
+        carry = jnp.zeros(bshape, dtype=U32)
+        for i in range(NLIMB, 2 * NLIMB):
+            v = acc[..., i] + carry
+            out.append(v & MASK)
+            carry = v >> WBITS
+        res = jnp.stack(out, axis=-1)
+        return self._cond_sub_p(res)
+
+    def mont_sqr(self, a):
+        return self.mont_mul(a, a)
+
+    def mont_pow(self, a, e: int):
+        """a^e in Montgomery domain (e a Python int, fixed at trace time)."""
+        if e == 0:
+            return self.ones_mont(a.shape[:-1])
+        bits = [(e >> i) & 1 for i in range(e.bit_length())]
+        bits_arr = jnp.asarray(bits[::-1], dtype=jnp.uint32)  # MSB first
+
+        def body(acc, bit):
+            acc = self.mont_mul(acc, acc)
+            mul = self.mont_mul(acc, a)
+            acc = jnp.where((bit == 1), mul, acc)
+            return acc, None
+
+        # Start from 1 (Montgomery), scan all bits MSB->LSB.
+        init = self.ones_mont(a.shape[:-1])
+        out, _ = jax.lax.scan(body, init, bits_arr)
+        return out
+
+    def inv(self, a):
+        """Modular inverse via Fermat: a^(p-2). Montgomery in, Montgomery out."""
+        return self.mont_pow(a, self.modulus - 2)
+
+    def select(self, cond, a, b):
+        """Elementwise select on field elements; cond shape = batch shape."""
+        return jnp.where(cond[..., None], a, b)
+
+    def eq(self, a, b):
+        return jnp.all(a == b, axis=-1)
+
+    def is_zero(self, a):
+        return jnp.all(a == 0, axis=-1)
+
+
+# Shared contexts for the two BN254 fields.
+FR = FieldCtx(bn254.FR_MOD, name="Fr")
+FP = FieldCtx(bn254.FP_MOD, name="Fp")

@@ -1,0 +1,59 @@
+"""Host-side conversions between Python ints and TPU limb arrays.
+
+Canonical representation for 254-bit field elements on TPU:
+``uint32[..., 16]`` — 16 little-endian limbs of 16 bits each (2^256 range).
+Products of two 16-bit limbs fit exactly in a uint32 lane, which is the whole
+point: the TPU VPU has no 64-bit integer multiplier, so all wide arithmetic is
+built from 16x16->32-bit partial products (SURVEY.md §7.3 item 1).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+NLIMB = 16
+WBITS = 16
+MASK = (1 << WBITS) - 1
+
+
+def int_to_limbs(x: int, nlimb: int = NLIMB, wbits: int = WBITS) -> np.ndarray:
+    """Encode a non-negative Python int as little-endian limbs (uint32)."""
+    assert x >= 0
+    out = np.zeros((nlimb,), dtype=np.uint32)
+    mask = (1 << wbits) - 1
+    for i in range(nlimb):
+        out[i] = x & mask
+        x >>= wbits
+    assert x == 0, "value does not fit in limbs"
+    return out
+
+
+def limbs_to_int(limbs, wbits: int = WBITS) -> int:
+    """Decode little-endian limbs (last axis) to a Python int."""
+    limbs = np.asarray(limbs)
+    assert limbs.ndim == 1
+    x = 0
+    for i in range(limbs.shape[0] - 1, -1, -1):
+        x = (x << wbits) | int(limbs[i])
+    return x
+
+
+def ints_to_limbs(xs, nlimb: int = NLIMB, wbits: int = WBITS) -> np.ndarray:
+    """Encode a sequence (or nested sequence) of ints -> uint32[..., nlimb]."""
+    xs = np.asarray(xs, dtype=object)
+    flat = xs.reshape(-1)
+    out = np.zeros((flat.shape[0], nlimb), dtype=np.uint32)
+    for k, v in enumerate(flat):
+        out[k] = int_to_limbs(int(v), nlimb, wbits)
+    return out.reshape(xs.shape + (nlimb,))
+
+
+def limbs_to_ints(limbs, wbits: int = WBITS) -> np.ndarray:
+    """Decode uint32[..., nlimb] -> object ndarray of Python ints."""
+    limbs = np.asarray(limbs)
+    lead = limbs.shape[:-1]
+    flat = limbs.reshape(-1, limbs.shape[-1])
+    out = np.empty((flat.shape[0],), dtype=object)
+    for k in range(flat.shape[0]):
+        out[k] = limbs_to_int(flat[k], wbits)
+    return out.reshape(lead)

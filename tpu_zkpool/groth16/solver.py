@@ -1,0 +1,214 @@
+"""ACIR witness solver — host-side witness generation for the Groth16 prover.
+
+Executes a parsed ACIR circuit (``tpu_zkpool.groth16.acir``) over BN254 Fr,
+solving AssertZero gates forward and dispatching brillig directives / blackbox
+calls to native Python implementations. This replaces the reference's
+``nargo execute`` step (``client/proof.helper.ts:55``) for the committed
+withdraw circuit.
+"""
+
+from __future__ import annotations
+
+from tpu_zkpool.fields.bn254 import FR_MOD as P
+from tpu_zkpool.refimpl import curve_ref
+from tpu_zkpool.groth16.acir import Expression, Opcode, Program
+
+
+class SolveError(RuntimeError):
+    pass
+
+
+def _eval_known(expr: Expression, w: dict) -> int | None:
+    """Evaluate fully-known expression, or None if any witness unknown."""
+    total = expr.q_c
+    for c, a, b in expr.mul_terms:
+        if a not in w or b not in w:
+            return None
+        total += c * w[a] * w[b]
+    for c, a in expr.linear:
+        if a not in w:
+            return None
+        total += c * w[a]
+    return total % P
+
+
+def _solve_gate(expr: Expression, w: dict) -> tuple | None:
+    """Try to solve an AssertZero for a single unknown witness.
+
+    Returns (witness, value) on success, None if 0 unknowns and satisfied,
+    raises SolveError if unsatisfied, or returns "defer" if underdetermined.
+    """
+    known = expr.q_c
+    unknown_coeff: dict[int, int] = {}
+    for c, a, b in expr.mul_terms:
+        ka, kb = a in w, b in w
+        if ka and kb:
+            known += c * w[a] * w[b]
+        elif ka:
+            unknown_coeff[b] = (unknown_coeff.get(b, 0) + c * w[a]) % P
+        elif kb:
+            unknown_coeff[a] = (unknown_coeff.get(a, 0) + c * w[b]) % P
+        else:
+            return "defer"
+    for c, a in expr.linear:
+        if a in w:
+            known += c * w[a]
+        else:
+            unknown_coeff[a] = (unknown_coeff.get(a, 0) + c) % P
+    known %= P
+    unknown_coeff = {k: v for k, v in unknown_coeff.items() if v != 0}
+    if not unknown_coeff:
+        if known != 0:
+            raise SolveError(f"unsatisfied gate, residual {known}")
+        return None
+    if len(unknown_coeff) > 1:
+        return "defer"
+    (wit, coeff), = unknown_coeff.items()
+    val = (-known) * pow(coeff, -1, P) % P
+    return (wit, val)
+
+
+def _brillig_dispatch(name: str, inputs: list, outputs: list, w: dict):
+    """Implement the three nargo directives by semantics."""
+    if name == "directive_integer_quotient":
+        a, b = inputs
+        q, r = divmod(a, b)
+        _assign_outputs(outputs, [q, r], w)
+    elif name == "directive_invert":
+        (x,) = inputs
+        _assign_outputs(outputs, [pow(x, -1, P) if x % P else 0], w)
+    elif name in ("directive_to_le_radix", "directive_to_radix"):
+        val, radix, *_ = inputs
+        outs = outputs[0][1]  # single array output
+        digits = []
+        v = val
+        for _ in range(len(outs)):
+            digits.append(v % radix)
+            v //= radix
+        _assign_outputs(outputs, [digits], w)
+    else:
+        raise SolveError(f"unknown brillig directive {name}")
+
+
+def _assign_outputs(outputs, values, w):
+    assert len(outputs) == len(values)
+    for (kind, tgt), val in zip(outputs, values):
+        if kind == "simple":
+            w[tgt] = val % P
+        else:
+            assert len(tgt) == len(val)
+            for t, v in zip(tgt, val):
+                w[t] = v % P
+
+
+def _fi_value(fi, w):
+    kind, v = fi
+    if kind == "const":
+        return v
+    if v not in w:
+        raise SolveError(f"blackbox input witness {v} unknown")
+    return w[v]
+
+
+def solve(program: Program, inputs: dict[int, int], brillig_names=None,
+          check_asserts: bool = True) -> dict[int, int]:
+    """Solve the main circuit's witness vector given input assignments.
+
+    ``inputs`` maps witness index -> value. Returns the full witness dict.
+    """
+    circ = program.circuits[0]
+    if brillig_names is None:
+        brillig_names = brillig_function_names(program)
+    w = {k: v % P for k, v in inputs.items()}
+    pending: list[Expression] = []
+
+    def drain_pending():
+        progress = True
+        while progress and pending:
+            progress = False
+            for expr in list(pending):
+                res = _solve_gate(expr, w)
+                if res == "defer":
+                    continue
+                pending.remove(expr)
+                progress = True
+                if res is not None:
+                    w[res[0]] = res[1]
+
+    for k, op in enumerate(circ.opcodes):
+        if op.kind == "assert_zero":
+            res = _solve_gate(op.data["expr"], w)
+            if res == "defer":
+                pending.append(op.data["expr"])
+            elif res is not None:
+                w[res[0]] = res[1]
+                drain_pending()
+        elif op.kind == "range":
+            if check_asserts:
+                kind, v = op.data["input"]
+                if kind == "wit" and v in w:
+                    if w[v] >= 1 << op.data["bits"]:
+                        raise SolveError(
+                            f"range check failed at op {k}: w{v} >= 2^{op.data['bits']}")
+        elif op.kind == "brillig_call":
+            d = op.data
+            vals = []
+            for kind, payload in d["inputs"]:
+                if kind == "single":
+                    v = _eval_known(payload, w)
+                    if v is None:
+                        raise SolveError(f"brillig input unknown at op {k}")
+                    vals.append(v)
+                else:
+                    raise SolveError(f"brillig input kind {kind} at op {k}")
+            name = brillig_names[d["id"]]
+            _brillig_dispatch(name, vals, d["outputs"], w)
+            drain_pending()
+        elif op.kind == "multi_scalar_mul":
+            d = op.data
+            pts = [_fi_value(fi, w) for fi in d["points"]]
+            scs = [_fi_value(fi, w) for fi in d["scalars"]]
+            acc = None
+            for i in range(0, len(pts), 3):
+                x, y, inf = pts[i : i + 3]
+                lo, hi = scs[2 * (i // 3) : 2 * (i // 3) + 2]
+                scalar = lo + (hi << 128)
+                pt = None if inf else (x, y)
+                acc = curve_ref.add(acc, curve_ref.scalar_mul(scalar, pt))
+            ox, oy, oinf = d["out"]
+            if acc is None:
+                w[ox], w[oy], w[oinf] = 0, 0, 1
+            else:
+                w[ox], w[oy], w[oinf] = acc[0], acc[1], 0
+            drain_pending()
+        else:
+            raise SolveError(f"unhandled opcode {op.kind} at {k}")
+
+    drain_pending()
+    if pending:
+        raise SolveError(f"{len(pending)} gates left unsolved")
+    return w
+
+
+def brillig_function_names(program: Program) -> list[str]:
+    """Extract the brillig function name list (bodies are not needed —
+    the solver reimplements the directives natively)."""
+    from tpu_zkpool.groth16.acir import Cursor
+
+    c = Cursor(program.brillig)
+    n = c.u64()
+    names = []
+    # Names are length-prefixed strings followed by opaque bodies; scan for
+    # the next plausible string by searching for the following name prefix.
+    # Simpler: the three directives are known; locate each by substring.
+    blob = program.brillig
+    import re
+
+    for m in re.finditer(rb"directive_[a-z_0-9]+", blob):
+        names.append(m.group(0).decode())
+    # Preserve order of first appearance, dedupe.
+    seen = []
+    for x in names:
+        if x not in seen:
+            seen.append(x)
+    return seen
