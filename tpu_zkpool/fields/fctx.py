@@ -93,18 +93,37 @@ class FieldCtx:
         return jnp.asarray(self.p_limbs, dtype=U32)
 
     def _borrow_sub(self, a, b):
-        """(a - b) over 16 limbs; returns (diff, borrow_out) with borrow 0/1."""
-        # Two's-complement style: per-limb diff with sequential borrow chain.
-        diff = []
-        borrow = jnp.zeros(a.shape[:-1], dtype=U32)
-        for i in range(NLIMB):
-            d = a[..., i] - b[..., i] - borrow
-            # Underflow detection: if a_i < b_i + borrow, uint32 wraps; the
-            # result's upper bits are all 1s iff a borrow happened (operands
-            # are < 2^16 so any wrap puts d >= 2^31).
-            borrow = d >> 31
-            diff.append(d & MASK)
-        return jnp.stack(diff, axis=-1), borrow
+        """(a - b) over 16 limbs; returns (diff, borrow_out) with borrow 0/1.
+
+        The borrow chain runs as a lax.scan over the limb axis to keep the
+        traced graph tiny (compile time matters: these ops are instantiated
+        hundreds of times inside hash/curve kernels).
+        """
+        bshape = jnp.broadcast_shapes(a.shape[:-1], b.shape[:-1])
+        aT = jnp.moveaxis(jnp.broadcast_to(a, bshape + (NLIMB,)), -1, 0)
+        bT = jnp.moveaxis(jnp.broadcast_to(b, bshape + (NLIMB,)), -1, 0)
+
+        def step(borrow, ab):
+            ai, bi = ab
+            # Underflow wraps uint32; operands < 2^16 so wrap puts d >= 2^31.
+            d = ai - bi - borrow
+            return d >> 31, d & MASK
+
+        borrow, diffT = jax.lax.scan(step, jnp.zeros(bshape, U32), (aT, bT))
+        return jnp.moveaxis(diffT, 0, -1), borrow
+
+    def _carry_add(self, a, b, extra=None):
+        """(a + b [+ extra]) limbwise with carry chain; result may be >= p."""
+        bshape = jnp.broadcast_shapes(a.shape[:-1], b.shape[:-1])
+        aT = jnp.moveaxis(jnp.broadcast_to(a, bshape + (NLIMB,)), -1, 0)
+        bT = jnp.moveaxis(jnp.broadcast_to(b, bshape + (NLIMB,)), -1, 0)
+
+        def step(carry, ab):
+            v = ab[0] + ab[1] + carry
+            return v >> WBITS, v & MASK
+
+        _, sT = jax.lax.scan(step, jnp.zeros(bshape, U32), (aT, bT))
+        return jnp.moveaxis(sT, 0, -1)
 
     def _cond_sub_p(self, a):
         """a - p if a >= p else a; a must be < 2p and fit in 16 limbs."""
@@ -116,27 +135,13 @@ class FieldCtx:
 
     def add(self, a, b):
         """Modular addition (works in either domain)."""
-        s = []
-        carry = jnp.zeros(jnp.broadcast_shapes(a.shape[:-1], b.shape[:-1]), dtype=U32)
-        for i in range(NLIMB):
-            v = a[..., i] + b[..., i] + carry
-            s.append(v & MASK)
-            carry = v >> WBITS
-        # a + b < 2p < 2^255 so carry out of limb 15 is impossible for
-        # canonical inputs (p < 2^254).
-        return self._cond_sub_p(jnp.stack(s, axis=-1))
+        # a + b < 2p < 2^255 so no carry out of limb 15 for canonical inputs.
+        return self._cond_sub_p(self._carry_add(a, b))
 
     def sub(self, a, b):
         """Modular subtraction."""
         diff, borrow = self._borrow_sub(a, b)
-        # If borrowed, add p back.
-        padd = []
-        carry = jnp.zeros_like(borrow)
-        for i in range(NLIMB):
-            v = diff[..., i] + self._pj[i] + carry
-            padd.append(v & MASK)
-            carry = v >> WBITS
-        padd = jnp.stack(padd, axis=-1)
+        padd = self._carry_add(diff, jnp.broadcast_to(self._pj, diff.shape))
         return jnp.where((borrow == 1)[..., None], padd, diff)
 
     def neg(self, a):
@@ -153,36 +158,48 @@ class FieldCtx:
         bshape = jnp.broadcast_shapes(a.shape[:-1], b.shape[:-1])
         a = jnp.broadcast_to(a, bshape + (NLIMB,))
         b = jnp.broadcast_to(b, bshape + (NLIMB,))
+        npad = len(bshape)
+        W = 2 * NLIMB + 1
 
-        # --- product scanning: acc columns < 2^21 ---
-        acc = jnp.zeros(bshape + (2 * NLIMB + 1,), dtype=U32)
+        # --- product columns: col[c] = sum_{i+j=c} lo(a_i b_j) + hi shifted;
+        # every column < 32 * 2^16 = 2^21, well within uint32 ---
+        parts = []
         for i in range(NLIMB):
-            prod = a[..., i : i + 1] * b  # (..., 16) full 32-bit products
-            acc = acc.at[..., i : i + NLIMB].add(prod & MASK)
-            acc = acc.at[..., i + 1 : i + NLIMB + 1].add(prod >> WBITS)
+            p = a[..., i : i + 1] * b  # (..., 16) full 32-bit products
+            pad = [(0, 0)] * npad
+            parts.append(jnp.pad(p & MASK, pad + [(i, W - NLIMB - i)]))
+            parts.append(jnp.pad(p >> WBITS, pad + [(i + 1, W - NLIMB - i - 1)]))
+        acc = jnp.sum(jnp.stack(parts, 0), axis=0, dtype=U32)
 
-        # --- interleaved Montgomery reduction ---
+        # --- Montgomery reduction as a scan: at step i the accumulator is
+        # kept relative (column 0 = original column i); each step cancels
+        # the lowest column with m = acc_0 * (-p^-1) mod 2^16, adds m*p,
+        # pushes the retired column's carry up, and shifts left. Columns
+        # stay < 2^22. ---
         n0 = np.uint32(self.n0)
         pj = self._pj
-        for i in range(NLIMB):
-            m = (acc[..., i] * n0) & MASK
-            mprod = m[..., None] * pj  # (..., 16)
-            acc = acc.at[..., i : i + NLIMB].add(mprod & MASK)
-            acc = acc.at[..., i + 1 : i + NLIMB + 1].add(mprod >> WBITS)
-            # Column i is now ≡ 0 mod 2^16; push its carry up and retire it.
-            acc = acc.at[..., i + 1].add(acc[..., i] >> WBITS)
 
-        # --- final carry propagation over the upper half ---
-        # The reduced value T = (a*b + sum m_i p 2^(16i)) / 2^256 < 2p < 2^255
-        # lives in columns 16..31 (column 32 is never written), so the carry
-        # out of limb 15 is mathematically zero and is dropped.
-        out = []
-        carry = jnp.zeros(bshape, dtype=U32)
-        for i in range(NLIMB, 2 * NLIMB):
-            v = acc[..., i] + carry
-            out.append(v & MASK)
-            carry = v >> WBITS
-        res = jnp.stack(out, axis=-1)
+        def red_step(acc, _):
+            m = (acc[..., 0] * n0) & MASK
+            mp = m[..., None] * pj
+            acc = acc.at[..., 0:NLIMB].add(mp & MASK)
+            acc = acc.at[..., 1 : NLIMB + 1].add(mp >> WBITS)
+            acc = acc.at[..., 1].add(acc[..., 0] >> WBITS)
+            acc = jnp.roll(acc, -1, axis=-1)
+            acc = acc.at[..., -1].set(0)
+            return acc, None
+
+        acc, _ = jax.lax.scan(red_step, acc, None, length=NLIMB)
+
+        # --- final carry propagation: T < 2p < 2^255 fits 16 limbs ---
+        colsT = jnp.moveaxis(acc[..., :NLIMB], -1, 0)
+
+        def carry_step(carry, col):
+            v = col + carry
+            return v >> WBITS, v & MASK
+
+        _, limbsT = jax.lax.scan(carry_step, jnp.zeros(bshape, U32), colsT)
+        res = jnp.moveaxis(limbsT, 0, -1)
         return self._cond_sub_p(res)
 
     def mont_sqr(self, a):
