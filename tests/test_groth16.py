@@ -1,0 +1,79 @@
+"""Groth16 pipeline: tiny-circuit E2E, gnark formats, ACIR->R1CS conversion."""
+
+import pytest
+
+from tpu_zkpool.fields.bn254 import FR_MOD as R
+from tpu_zkpool.refimpl.groth16_ref import R1CS, setup, prove, verify, fr_fft, fr_ifft
+from tpu_zkpool.groth16.acir import load_artifact
+from tpu_zkpool.groth16 import r1cs as r1cs_mod, solver
+from tpu_zkpool.groth16.gnark_fmt import parse_vk, parse_proof, emit_proof
+
+import vectors
+
+
+@pytest.fixture(scope="module")
+def tiny():
+    # x^3 + x + 5 == out; vars [1, out, x, x^2, x^3]
+    r1cs = R1CS(
+        num_vars=5, num_public=2,
+        a_rows=[{2: 1}, {3: 1}, {}],
+        b_rows=[{2: 1}, {2: 1}, {0: 1}],
+        c_rows=[{3: 1}, {4: 1}, {1: 1, 4: -1 % R, 2: -1 % R, 0: -5 % R}],
+    )
+    x = 3
+    w = [1, x**3 + x + 5, x, x * x, x**3]
+    return r1cs, w
+
+
+def test_fft_roundtrip():
+    import random
+    rng = random.Random(4)
+    coeffs = [rng.randrange(R) for _ in range(64)]
+    assert fr_ifft(fr_fft(coeffs)) == coeffs
+
+
+def test_groth16_tiny_end_to_end(tiny):
+    r1cs, w = tiny
+    assert r1cs.is_satisfied(w)
+    pk, vk = setup(r1cs)
+    proof = prove(pk, r1cs, w)
+    assert verify(vk, proof, [w[1]])
+    assert not verify(vk, proof, [w[1] + 1])
+
+
+def test_acir_to_r1cs_satisfied():
+    abi, prog = load_artifact(vectors.WITHDRAW_ARTIFACT)
+    ar = r1cs_mod.convert(prog)
+    assert len(ar.r1cs.a_rows) > 7000
+    w_acir = solver.solve(prog, vectors.withdraw_inputs())
+    w = r1cs_mod.build_witness(ar, w_acir)
+    assert ar.r1cs.is_satisfied(w)
+    # tampered witness fails
+    w[100] = (w[100] + 1) % R
+    assert not ar.r1cs.is_satisfied(w)
+
+
+def test_parse_committed_vks():
+    for path, nk in [
+        ("/root/reference/noir_circuit/target/shielded_pool_verifier.vk", 7),
+        ("/root/reference/audit_circuit/target/rlwe_audit.vk", 4),
+        ("/root/reference/audit_circuit/target/audit_circuit.vk", 4),
+    ]:
+        vk = parse_vk(open(path, "rb").read())
+        assert len(vk.gamma_abc) == nk
+        assert len(vk.commitment_keys) == 1
+
+
+def test_proof_emit_parse_roundtrip():
+    from tpu_zkpool.refimpl import pairing_ref as pr
+    from tpu_zkpool.fields.bn254 import G1_GX, G1_GY
+    ar = pr.g1_mul(12, (G1_GX, G1_GY))
+    krs = pr.g1_mul(34, (G1_GX, G1_GY))
+    bs = pr.g2_mul(56, pr.G2_GEN)
+    cm = pr.g1_mul(78, (G1_GX, G1_GY))
+    pok = pr.g1_mul(90, (G1_GX, G1_GY))
+    raw = emit_proof(ar, bs, krs, [cm], pok)
+    assert len(raw) == 388  # matches withdraw.rs:13
+    pf = parse_proof(raw)
+    assert pf.ar == ar and pf.krs == krs and pf.bs == bs
+    assert pf.commitments == [cm] and pf.pok == pok

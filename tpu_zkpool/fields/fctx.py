@@ -38,7 +38,7 @@ def _np_u32(x) -> np.ndarray:
     return np.asarray(x, dtype=np.uint32)
 
 
-@dataclass(frozen=True)
+@dataclass(frozen=True, eq=False)
 class FieldCtx:
     """Montgomery arithmetic context for a prime modulus p < 2^(16*NLIMB - 2)."""
 
@@ -109,7 +109,8 @@ class FieldCtx:
             d = ai - bi - borrow
             return d >> 31, d & MASK
 
-        borrow, diffT = jax.lax.scan(step, jnp.zeros(bshape, U32), (aT, bT))
+        # zeros_like keeps shard_map varying-axis types consistent with data
+        borrow, diffT = jax.lax.scan(step, jnp.zeros_like(aT[0]), (aT, bT))
         return jnp.moveaxis(diffT, 0, -1), borrow
 
     def _carry_add(self, a, b, extra=None):
@@ -122,7 +123,7 @@ class FieldCtx:
             v = ab[0] + ab[1] + carry
             return v >> WBITS, v & MASK
 
-        _, sT = jax.lax.scan(step, jnp.zeros(bshape, U32), (aT, bT))
+        _, sT = jax.lax.scan(step, jnp.zeros_like(aT[0]), (aT, bT))
         return jnp.moveaxis(sT, 0, -1)
 
     def _cond_sub_p(self, a):
@@ -198,7 +199,7 @@ class FieldCtx:
             v = col + carry
             return v >> WBITS, v & MASK
 
-        _, limbsT = jax.lax.scan(carry_step, jnp.zeros(bshape, U32), colsT)
+        _, limbsT = jax.lax.scan(carry_step, jnp.zeros_like(colsT[0]), colsT)
         res = jnp.moveaxis(limbsT, 0, -1)
         return self._cond_sub_p(res)
 
