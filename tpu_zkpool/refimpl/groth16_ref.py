@@ -147,52 +147,89 @@ def setup(r1cs: R1CS, seed: int = 1337) -> tuple:
     inv_delta = pow(delta, -1, R)
     inv_gamma = pow(gamma, -1, R)
 
-    def g1(k):
-        return pr.g1_mul(k % R, G1_GEN)
+    # Fixed-base generator multiplications — native C++ batch path when the
+    # toolchain is available (~160x the pure-Python loop), else fallback.
+    try:
+        from tpu_zkpool import native_bridge as nb
+        nb.get_lib()
+        g1_batch, g2_batch = nb.g1_gen_mul_batch, nb.g2_gen_mul_batch
+    except Exception:
+        g1_batch = lambda ks: [pr.g1_mul(k % R, G1_GEN) for k in ks]
+        g2_batch = lambda ks: [pr.g2_mul(k % R, G2_GEN) for k in ks]
 
-    def g2(k):
-        return pr.g2_mul(k % R, G2_GEN)
+    k_scalars = [
+        (beta * u[i] + alpha * v[i] + w[i]) * inv_delta % R
+        for i in range(r1cs.num_public, nv)
+    ]
+    h_scalars = [pow(tau, i, R) * t_tau % R * inv_delta % R for i in range(n - 1)]
+    abc_scalars = [
+        (beta * u[i] + alpha * v[i] + w[i]) * inv_gamma % R
+        for i in range(r1cs.num_public)
+    ]
+    flat = ([alpha, beta, delta] + [ui % R for ui in u] + [vi % R for vi in v]
+            + k_scalars + h_scalars + abc_scalars)
+    g1s = g1_batch(flat)
+    g2s = g2_batch([beta, delta, gamma] + [vi % R for vi in v])
+    o = 3
+    a_query = g1s[o : o + nv]
+    b1_query = g1s[o + nv : o + 2 * nv]
+    o2 = o + 2 * nv
+    k_query = g1s[o2 : o2 + len(k_scalars)]
+    o2 += len(k_scalars)
+    h_query = g1s[o2 : o2 + len(h_scalars)]
+    o2 += len(h_scalars)
+    gamma_abc = g1s[o2 : o2 + len(abc_scalars)]
 
     pk = ProvingKey(
         n_domain=n,
-        alpha1=g1(alpha), beta1=g1(beta), delta1=g1(delta),
-        beta2=g2(beta), delta2=g2(delta),
-        a_query=[g1(ui) for ui in u],
-        b1_query=[g1(vi) for vi in v],
-        b2_query=[g2(vi) for vi in v],
-        k_query=[
-            g1((beta * u[i] + alpha * v[i] + w[i]) * inv_delta)
-            for i in range(r1cs.num_public, nv)
-        ],
-        h_query=[g1(pow(tau, i, R) * t_tau % R * inv_delta) for i in range(n - 1)],
+        alpha1=g1s[0], beta1=g1s[1], delta1=g1s[2],
+        beta2=g2s[0], delta2=g2s[1],
+        a_query=a_query, b1_query=b1_query, b2_query=g2s[3 : 3 + nv],
+        k_query=k_query, h_query=h_query,
     )
     vk = VerifyingKey(
-        alpha1=g1(alpha), beta2=g2(beta), gamma2=g2(gamma), delta2=g2(delta),
-        gamma_abc=[
-            g1((beta * u[i] + alpha * v[i] + w[i]) * inv_gamma)
-            for i in range(r1cs.num_public)
-        ],
+        alpha1=g1s[0], beta2=g2s[0], gamma2=g2s[2], delta2=g2s[1],
+        gamma_abc=gamma_abc,
     )
     return pk, vk
 
 
 # ------------------------------------------------------------------ prove
 
+def _native():
+    try:
+        from tpu_zkpool import native_bridge as nb
+        nb.get_lib()
+        return nb
+    except Exception:
+        return None
+
+
 def _msm(points: list, scalars: list):
+    pairs = [(pnt, s % R) for pnt, s in zip(points, scalars)
+             if s % R and pnt is not None]
+    if not pairs:
+        return None
+    nb = _native()
+    if nb is not None and len(pairs) > 8:
+        return nb.g1_msm([s for _, s in pairs], [p for p, _ in pairs])
     acc = None
-    for pnt, s in zip(points, scalars):
-        s %= R
-        if s and pnt is not None:
-            acc = pr.g1_add(acc, pr.g1_mul(s, pnt))
+    for pnt, s in pairs:
+        acc = pr.g1_add(acc, pr.g1_mul(s, pnt))
     return acc
 
 
 def _msm2(points: list, scalars: list):
+    pairs = [(pnt, s % R) for pnt, s in zip(points, scalars)
+             if s % R and pnt is not None]
+    if not pairs:
+        return None
+    nb = _native()
+    if nb is not None and len(pairs) > 8:
+        return nb.g2_msm([s for _, s in pairs], [p for p, _ in pairs])
     acc = None
-    for pnt, s in zip(points, scalars):
-        s %= R
-        if s and pnt is not None:
-            acc = pr.g2_add(acc, pr.g2_mul(s, pnt))
+    for pnt, s in pairs:
+        acc = pr.g2_add(acc, pr.g2_mul(s, pnt))
     return acc
 
 
