@@ -22,7 +22,7 @@ sys.path.insert(0, "/root/repo")
 import jax
 import jax.numpy as jnp
 
-from tpu_zkpool.hash import poseidon
+from tpu_zkpool.hash import poseidon_pallas
 
 BASELINE_HASHES_PER_S = 1_000_000.0
 
@@ -34,7 +34,7 @@ def _chain(seed, batch, iters):
         jnp.uint32
     )
     def body(s, _):
-        return poseidon.hash2(s, s), None
+        return poseidon_pallas.hash2_pallas(s, s), None
     out, _ = jax.lax.scan(body, x, None, length=iters)
     return jnp.sum(out, dtype=jnp.uint32)
 
@@ -46,7 +46,7 @@ def _timed(seed, batch, iters):
 
 
 def main():
-    batch, iters = 4096, 4
+    batch, iters = 1 << 15, 4
     _timed(0, batch, iters)  # compile + warm
     times = [_timed(s, batch, iters)[0] for s in range(1, 4)]
     best = min(times)

@@ -1,0 +1,44 @@
+"""R1CS builder gadgets vs. the hash references."""
+
+from tpu_zkpool.groth16.builder import CircuitBuilder
+from tpu_zkpool.hash.poseidon_params import poseidon_hash_ref
+from tpu_zkpool.hash import poseidon2
+
+
+def test_poseidon_gadget():
+    b = CircuitBuilder()
+    out = b.public_input()
+    x, y = b.private_input(), b.private_input()
+    h = b.poseidon_hash([{x: 1}, {y: 1}])
+    b.assert_eq({h: 1}, {out: 1})
+    r1cs = b.r1cs()
+    exp = poseidon_hash_ref([111, 222])
+    w = b.witness({out: exp, x: 111, y: 222})
+    assert r1cs.is_satisfied(w)
+    assert not r1cs.is_satisfied(b.witness({out: exp + 1, x: 111, y: 222}))
+
+
+def test_poseidon2_gadget():
+    b = CircuitBuilder()
+    ins = [b.private_input() for _ in range(4)]
+    outs = b.poseidon2_permutation([{v: 1} for v in ins])
+    outv = []
+    for o in outs:
+        v = b.aux(lambda w, s=dict(o): CircuitBuilder._eval(s, w))
+        b.assert_eq(o, {v: 1})
+        outv.append(v)
+    w = b.witness({v: i for v, i in zip(ins, [0, 1, 2, 3])})
+    assert [w[v] for v in outv] == poseidon2.permutation_ref([0, 1, 2, 3])
+    assert b.r1cs().is_satisfied(w)
+
+
+def test_bits_gadget():
+    b = CircuitBuilder()
+    x = b.private_input()
+    bits = b.bits({x: 1}, 16)
+    r1cs = b.r1cs()
+    w = b.witness({x: 0xBEEF})
+    assert r1cs.is_satisfied(w)
+    assert [w[bv] for bv in bits[:8]] == [1, 1, 1, 1, 0, 1, 1, 1]
+    # out-of-range value fails the decomposition constraint
+    assert not r1cs.is_satisfied(b.witness({x: 1 << 16}))

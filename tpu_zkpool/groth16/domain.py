@@ -1,0 +1,96 @@
+"""Fr-domain radix-2 NTT on TPU limbs — the prover's FFT engine.
+
+Same DIF/DIT no-bit-reversal structure as ``tpu_zkpool.rlwe.ntt`` but over
+the 254-bit BN254 scalar field in 16x16-bit limb form (Fr - 1 = 2^28 * odd,
+generator 5), used for the Groth16 H(X) = (UV - W)/t computation on device
+(the reference's equivalent work happens inside gnark's FFT during
+`sunspot prove`). Includes coset evaluation helpers.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpu_zkpool.fields.bn254 import FR_MOD as R
+from tpu_zkpool.fields.fctx import FR
+
+COSET_G = 5
+
+
+def _root(n: int) -> int:
+    assert n & (n - 1) == 0 and n <= 1 << 28
+    return pow(5, (R - 1) // n, R)
+
+
+@functools.lru_cache(maxsize=None)
+def _tables(n: int):
+    omega = _root(n)
+    omega_inv = pow(omega, -1, R)
+    n_inv = pow(n, -1, R)
+    fwd, inv = [], []
+    h = n // 2
+    while h >= 1:
+        step = n // (2 * h)
+        fwd.append(FR.to_mont(np.asarray(
+            [pow(omega, step * j, R) for j in range(h)], dtype=object)))
+        h //= 2
+    h = 1
+    while h <= n // 2:
+        step = n // (2 * h)
+        inv.append(FR.to_mont(np.asarray(
+            [pow(omega_inv, step * j, R) for j in range(h)], dtype=object)))
+        h *= 2
+    ninv_m = FR.to_mont(np.asarray([n_inv], dtype=object))[0]
+    coset = FR.to_mont(np.asarray(
+        [pow(COSET_G, i, R) for i in range(n)], dtype=object))
+    coset_inv = FR.to_mont(np.asarray(
+        [pow(pow(COSET_G, -1, R), i, R) for i in range(n)], dtype=object))
+    return fwd, inv, ninv_m, coset, coset_inv
+
+
+def forward(x: jnp.ndarray) -> jnp.ndarray:
+    """DIF NTT along axis -2 of uint32[..., n, 16] Montgomery values
+    (natural order in, bit-reversed out)."""
+    n = x.shape[-2]
+    fwd, _, _, _, _ = _tables(n)
+    y = x
+    for tw in fwd:
+        h = tw.shape[0]
+        blocks = y.reshape(y.shape[:-2] + (n // (2 * h), 2 * h, 16))
+        u = blocks[..., :h, :]
+        v = blocks[..., h:, :]
+        s = FR.add(u, v)
+        d = FR.mont_mul(FR.sub(u, v), jnp.asarray(tw))
+        y = jnp.concatenate([s, d], axis=-2).reshape(y.shape)
+    return y
+
+
+def inverse(y: jnp.ndarray) -> jnp.ndarray:
+    n = y.shape[-2]
+    _, inv, ninv_m, _, _ = _tables(n)
+    x = y
+    for tw in inv:
+        h = tw.shape[0]
+        blocks = x.reshape(x.shape[:-2] + (n // (2 * h), 2 * h, 16))
+        u = blocks[..., :h, :]
+        v = FR.mont_mul(blocks[..., h:, :], jnp.asarray(tw))
+        x = jnp.concatenate([FR.add(u, v), FR.sub(u, v)], axis=-2).reshape(
+            y.shape)
+    return FR.mont_mul(x, jnp.asarray(ninv_m))
+
+
+def coset_forward(coeffs: jnp.ndarray) -> jnp.ndarray:
+    """Evaluate a coefficient vector on the coset g*omega^i (BR order)."""
+    n = coeffs.shape[-2]
+    _, _, _, coset, _ = _tables(n)
+    return forward(FR.mont_mul(coeffs, jnp.asarray(coset)))
+
+
+def coset_inverse(evals: jnp.ndarray) -> jnp.ndarray:
+    n = evals.shape[-2]
+    _, _, _, _, coset_inv = _tables(n)
+    return FR.mont_mul(inverse(evals), jnp.asarray(coset_inv))

@@ -1,0 +1,182 @@
+"""The RLWE audit circuit, built directly as R1CS.
+
+Our equivalent of the reference's generated Noir audit circuit
+(``scripts/generate_audit.py:246-465``; the ~50 MB main.nr is stripped from
+the repo — the generator is ground truth, SURVEY.md §7.3 item 7):
+
+Proves, for public (wa_commitment, ct_commitment):
+  - wa_commitment = Poseidon1(owner_x, owner_y)
+  - ct_commitment = Poseidon2 rate-3 sponge over the 157 packed ciphertext
+    fields (bound as private inputs)
+  - byte-encoding: msg slots = little-endian bytes of owner_x / owner_y
+  - range proofs r, e1, e2 in [-128, 128]
+  - the BFV encryption identities over BN254 with quotient witnesses:
+      c0[i] + k0[i]*Q == <PK_B_ROW[i], r> + e1[i] + DELTA*msg[i]   (64 rows)
+      c1[i] + k1[i]*Q == <PK_A_ROW[i], r> + e2[i]                  (1024 rows)
+    with the negacyclic PK rows embedded as circuit constants.
+
+The owner point's curve derivation (sk*G) is, as in our withdraw R1CS, a
+hinted witness pending the scalar-mul gadget (docs/PLAN.md).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from tpu_zkpool.fields.bn254 import FR_MOD as R
+from tpu_zkpool.groth16.builder import CircuitBuilder, lc
+from tpu_zkpool.refimpl.rlwe_ref import (
+    DELTA, MSG_SLOTS, N, PACK_BITS, PACK_WIDTH, RLWE_Q,
+    negacyclic_matrix_row, pack_values,
+)
+
+PACKED_C0 = (MSG_SLOTS + PACK_WIDTH - 1) // PACK_WIDTH   # 10
+PACKED_C1 = (N + PACK_WIDTH - 1) // PACK_WIDTH           # 147
+
+
+@dataclass
+class AuditCircuit:
+    builder: CircuitBuilder
+    v_wa: int
+    v_ct: int
+    v_owner_x: int
+    v_owner_y: int
+    v_c0_packed: list
+    v_c1_packed: list
+    v_r: list
+    v_e1: list
+    v_e2: list
+    v_k0: list
+    v_k1: list
+
+    def assignment(self, owner_x: int, owner_y: int, enc: dict,
+                   wa: int, ct: int) -> dict:
+        """Input map from an encryption record (refimpl.rlwe_ref.encrypt)."""
+        a = {self.v_wa: wa, self.v_ct: ct,
+             self.v_owner_x: owner_x, self.v_owner_y: owner_y}
+        c0p = pack_values(enc["c0_sparse"])
+        c1p = pack_values(enc["c1"])
+        for v, val in zip(self.v_c0_packed, c0p):
+            a[v] = val
+        for v, val in zip(self.v_c1_packed, c1p):
+            a[v] = val
+        for vs, vals in ((self.v_r, enc["r_signed"]),
+                         (self.v_e1, enc["e1_signed"]),
+                         (self.v_e2, enc["e2_signed"]),
+                         (self.v_k0, enc["k0"]), (self.v_k1, enc["k1"])):
+            for v, val in zip(vs, vals):
+                a[v] = val % R
+        return a
+
+
+def _unpack(b: CircuitBuilder, packed_vars: list, n_slots: int) -> list:
+    """Decompose packed fields (PACK_WIDTH x PACK_BITS-bit slots) into slot
+    lcs with full bit range checks."""
+    slots = []
+    for i, pv in enumerate(packed_vars):
+        n_here = min(PACK_WIDTH, n_slots - i * PACK_WIDTH)
+        bits = b.bits({pv: 1}, PACK_BITS * n_here)
+        for s in range(n_here):
+            slots.append(lc(*[
+                (pow(2, j, R), bits[PACK_BITS * s + j]) for j in range(PACK_BITS)
+            ]))
+    assert len(slots) == n_slots
+    return slots
+
+
+def _byte_slots(b: CircuitBuilder, v: int) -> list:
+    """254-bit decomposition -> 32 byte-slot lcs (generate_audit.py:376-396)."""
+    bits = b.bits({v: 1}, 254)
+    slots = []
+    for i in range(32):
+        terms = []
+        for j in range(8):
+            k = 8 * i + j
+            if k < 254:
+                terms.append((pow(2, j, R), bits[k]))
+        slots.append(lc(*terms))
+    return slots
+
+
+def _range_signed(b: CircuitBuilder, v: int, bound: int = 128) -> None:
+    """v in [-bound, bound]: v + bound fits in 8 bits (range_proof_signed)."""
+    shifted = {v: 1, 0: bound}
+    b.bits(shifted, 8)
+
+
+def build_audit_circuit(pk_a: list, pk_b: list) -> AuditCircuit:
+    b = CircuitBuilder()
+    v_wa = b.public_input()
+    v_ct = b.public_input()
+
+    v_c0p = [b.private_input() for _ in range(PACKED_C0)]
+    v_c1p = [b.private_input() for _ in range(PACKED_C1)]
+    v_x = b.private_input()
+    v_y = b.private_input()
+    v_r = [b.private_input() for _ in range(N)]
+    v_e1 = [b.private_input() for _ in range(MSG_SLOTS)]
+    v_e2 = [b.private_input() for _ in range(N)]
+    v_k0 = [b.private_input() for _ in range(MSG_SLOTS)]
+    v_k1 = [b.private_input() for _ in range(N)]
+
+    # 1. wa_commitment = Poseidon1(x, y)
+    h = b.poseidon_hash([{v_x: 1}, {v_y: 1}])
+    b.assert_eq({h: 1}, {v_wa: 1})
+
+    # 2. unpack ciphertext
+    c0 = _unpack(b, v_c0p, MSG_SLOTS)
+    c1 = _unpack(b, v_c1p, N)
+
+    # 3. message byte slots
+    msg = _byte_slots(b, v_x) + _byte_slots(b, v_y)
+
+    # 4. range proofs
+    for v in v_r + v_e1 + v_e2:
+        _range_signed(b, v)
+
+    # 5/6. encryption identities with constant negacyclic PK rows
+    for i in range(MSG_SLOTS):
+        row = negacyclic_matrix_row(pk_b, i)
+        rhs = lc(*[(row[j], v_r[j]) for j in range(N)],
+                 (1, v_e1[i]))
+        for v, co in msg[i].items():
+            rhs[v] = (rhs.get(v, 0) + DELTA * co) % R
+        lhs = dict(c0[i])
+        lhs[v_k0[i]] = (lhs.get(v_k0[i], 0) + RLWE_Q) % R
+        b.assert_eq(lhs, rhs)
+    for i in range(N):
+        row = negacyclic_matrix_row(pk_a, i)
+        rhs = lc(*[(row[j], v_r[j]) for j in range(N)], (1, v_e2[i]))
+        lhs = dict(c1[i])
+        lhs[v_k1[i]] = (lhs.get(v_k1[i], 0) + RLWE_Q) % R
+        b.assert_eq(lhs, rhs)
+
+    # 7. ct_commitment = Poseidon2 sponge over the 157 packed fields
+    packed_lcs = [{v: 1} for v in v_c0p + v_c1p]
+    state = [lc(0)] * 4
+    full = len(packed_lcs) // 3
+    for i in range(full):
+        for k in range(3):
+            s = dict(state[k])
+            for v, co in packed_lcs[3 * i + k].items():
+                s[v] = (s.get(v, 0) + co) % R
+            state[k] = s
+        state = b.poseidon2_permutation(state)
+    rem = len(packed_lcs) - 3 * full
+    for k in range(rem):
+        s = dict(state[k])
+        for v, co in packed_lcs[3 * full + k].items():
+            s[v] = (s.get(v, 0) + co) % R
+        state[k] = s
+    state = b.poseidon2_permutation(state)
+    b.assert_eq(state[0], {v_ct: 1})
+
+    return AuditCircuit(b, v_wa, v_ct, v_x, v_y, v_c0p, v_c1p,
+                        v_r, v_e1, v_e2, v_k0, v_k1)
+
+
+def ct_commitment_of(enc: dict) -> int:
+    """Host-side ct_commitment for a ciphertext record."""
+    from tpu_zkpool.hash.poseidon2 import ct_commitment_ref
+    packed = pack_values(enc["c0_sparse"]) + pack_values(enc["c1"])
+    return ct_commitment_ref(packed)
