@@ -22,6 +22,10 @@ sys.path.insert(0, "/root/repo")
 import jax
 import jax.numpy as jnp
 
+from tpu_zkpool.utils import enable_compile_cache
+
+enable_compile_cache()
+
 from tpu_zkpool.hash import poseidon_pallas
 
 BASELINE_HASHES_PER_S = 1_000_000.0

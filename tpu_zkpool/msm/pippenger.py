@@ -155,6 +155,92 @@ def msm(curve: CurveOps, points, digits, c: int = WINDOW_BITS,
     return acc
 
 
+@functools.partial(jax.jit, static_argnums=(0, 3, 4))
+def msm_pallas(curve: CurveOps, points, digits, c: int = WINDOW_BITS,
+               lanes: int = 2048):
+    """Pippenger MSM with the Pallas point-add kernel on the hot loop.
+
+    Identical structure to :func:`msm`, but the within-chunk prefix scan —
+    the O(N) bulk of the work — runs `N / lanes` serial steps of a
+    `lanes`-wide Pallas complete-add (1024-point register tiles), keeping
+    the VPU saturated. Bucket extraction / reduction / Horner stay on the
+    XLA path (O(windows * 2^c) small adds).
+
+    G1 only (the kernel is specialized to Fp). N must be a multiple of
+    ``lanes``; lanes a multiple of 1024.
+    """
+    from tpu_zkpool.curve import curve_pallas as cp
+
+    X, Y, Z = points
+    n = X.shape[0]
+    n_windows = digits.shape[1]
+    n_buckets = 1 << c
+    k_steps = n // lanes
+
+    def window_sum(w):
+        d = digits[:, w]
+        order = jnp.argsort(d)
+        ds = d[order]
+        Ps = tuple(arr[order] for arr in (X, Y, Z))
+
+        # within-chunk inclusive prefix via the Pallas add kernel.
+        # Chunk c owns elements [c*k_steps, (c+1)*k_steps); reshaping
+        # (n, 16) -> (lanes, k_steps, 16) puts chunk c at row c, and the
+        # transpose scans over the within-chunk axis with `lanes`-wide adds.
+        resh = tuple(a.reshape(lanes, k_steps, 16).transpose(1, 0, 2)
+                     for a in Ps)
+
+        def within(acc, row):
+            acc = cp.add_pallas(acc, row)
+            return acc, acc
+
+        ident = (curve.F.zeros((lanes,)),) * 3
+        _, pref_steps = jax.lax.scan(within, ident, resh)
+        # pref_steps: (k_steps, lanes, 16) x3 inclusive within-chunk prefixes
+
+        # exclusive prefix of chunk totals (lanes of them) — reuse the
+        # two-level XLA prefix: inclusive-with-identity-prepended[i] is the
+        # exclusive prefix at i.
+        totals = tuple(a[-1] for a in pref_steps)  # (lanes, 16)
+        tot_pref = _chunked_prefix(curve, totals, 64)
+        chunk_excl = tuple(a[:-1] for a in tot_pref)
+        # global prefix at index i (i = c*k_steps + j):
+        glob = curve.add(
+            tuple(jnp.moveaxis(a, 0, 1).reshape(n, 16) for a in pref_steps),
+            tuple(jnp.repeat(a, k_steps, axis=0) for a in chunk_excl),
+        )
+        ident1 = curve.identity((1,))
+        pref = tuple(jnp.concatenate([i_, g], axis=0)
+                     for i_, g in zip(ident1, glob))
+
+        buckets = jnp.arange(n_buckets, dtype=ds.dtype)
+        starts = jnp.searchsorted(ds, buckets, side="left")
+        ends = jnp.searchsorted(ds, buckets, side="right")
+        B = curve.add(
+            tuple(p[ends] for p in pref),
+            _neg(curve, tuple(p[starts] for p in pref)),
+        )
+        Brev = tuple(arr[1:][::-1] for arr in B)
+
+        def runsum(carry, b):
+            acc, tot = carry
+            acc = curve.add(acc, b)
+            tot = curve.add(tot, acc)
+            return (acc, tot), None
+
+        (acc, tot), _ = jax.lax.scan(
+            runsum, (curve.identity(()), curve.identity(())), Brev)
+        return tot
+
+    def horner(acc, w):
+        for _ in range(c):
+            acc = curve.double(acc)
+        return curve.add(acc, window_sum(n_windows - 1 - w)), None
+
+    acc, _ = jax.lax.scan(horner, curve.identity(()), jnp.arange(n_windows))
+    return acc
+
+
 def msm_sharded(curve: CurveOps, points, digits, mesh, axis="dp",
                 c: int = WINDOW_BITS):
     """Points-sharded MSM over a mesh: per-device partial MSMs combined via

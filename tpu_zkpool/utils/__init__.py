@@ -1,0 +1,3 @@
+from tpu_zkpool.utils.compile_cache import enable_compile_cache
+
+__all__ = ["enable_compile_cache"]
