@@ -1,0 +1,54 @@
+"""Device-prover components: natural-order interpolation + H pipeline."""
+
+import os
+import random
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpu_zkpool.fields.bn254 import FR_MOD as R
+from tpu_zkpool.fields.fctx import FR
+from tpu_zkpool.groth16 import domain
+from tpu_zkpool.refimpl.groth16_ref import R1CS, compute_h, fr_fft
+
+
+def test_interpolate_natural():
+    rng = random.Random(15)
+    coeffs = [rng.randrange(R) for _ in range(16)]
+    evals = fr_fft(coeffs)  # natural order
+    dev = jnp.asarray(FR.to_mont(np.asarray(evals, dtype=object)))
+    got = FR.from_mont(np.asarray(jax.jit(domain.interpolate_natural)(dev)))
+    assert [int(v) for v in got] == coeffs
+
+
+def test_compute_h_device_matches_oracle():
+    from tpu_zkpool.groth16.prove_tpu import compute_h_device
+    r1cs = R1CS(num_vars=5, num_public=2,
+                a_rows=[{2: 1}, {3: 1}, {}],
+                b_rows=[{2: 1}, {2: 1}, {0: 1}],
+                c_rows=[{3: 1}, {4: 1},
+                        {1: 1, 4: -1 % R, 2: -1 % R, 0: -5 % R}])
+    x = 3
+    w = [1, x**3 + x + 5, x, x * x, x**3]
+    assert compute_h_device(r1cs, w, 4) == compute_h(r1cs, w, 4)
+
+
+@pytest.mark.skipif(os.environ.get("RUN_SLOW") != "1",
+                    reason="MSM graph compile is minutes on CPU (RUN_SLOW=1)")
+def test_prove_tpu_tiny_end_to_end():
+    from tpu_zkpool.refimpl.groth16_ref import setup, verify
+    from tpu_zkpool.groth16 import prove_tpu
+    r1cs = R1CS(num_vars=5, num_public=2,
+                a_rows=[{2: 1}, {3: 1}, {}],
+                b_rows=[{2: 1}, {2: 1}, {0: 1}],
+                c_rows=[{3: 1}, {4: 1},
+                        {1: 1, 4: -1 % R, 2: -1 % R, 0: -5 % R}])
+    x = 3
+    w = [1, x**3 + x + 5, x, x * x, x**3]
+    pk, vk = setup(r1cs)
+    dpk = prove_tpu.DeviceProvingKey(pk)
+    proof = prove_tpu.prove(dpk, r1cs, w)
+    assert verify(vk, proof, [w[1]])
+    assert not verify(vk, proof, [w[1] + 1])

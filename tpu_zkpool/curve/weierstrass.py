@@ -16,7 +16,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from tpu_zkpool.fields.fctx import FieldCtx, FR, FP
+from tpu_zkpool.fields.fctx import FieldCtx, FR, FP, FP_U
 from tpu_zkpool.fields import bn254
 from tpu_zkpool.fields.limbs import NLIMB
 
@@ -162,3 +162,9 @@ EMBEDDED = CurveOps(
 )
 
 G1 = CurveOps(F=FP, b=3, gen=(bn254.G1_GX, bn254.G1_GY), order=bn254.FR_MOD)
+
+# Unrolled-field variant: identical math with fused (scan-free) limb ops —
+# use on small-batch serial paths (MSM bucket reduction, Horner) where
+# per-scan-step launch overhead dominates.
+G1_UNROLLED = CurveOps(F=FP_U, b=3, gen=(bn254.G1_GX, bn254.G1_GY),
+                       order=bn254.FR_MOD)

@@ -44,6 +44,12 @@ class FieldCtx:
 
     modulus: int
     name: str = "F"
+    # Unrolled carry/borrow/reduction loops instead of lax.scan: bigger
+    # traces (don't instantiate hundreds of ops) but XLA fuses them into a
+    # few kernels — crucial for SMALL-batch serial paths (e.g. the MSM
+    # bucket reduction), where scan-based ops cost ~ms per step in launch
+    # overhead.
+    unrolled: bool = False
 
     # Derived (filled in __post_init__ via object.__setattr__).
     p_limbs: np.ndarray = field(init=False, repr=False)
@@ -109,6 +115,13 @@ class FieldCtx:
             d = ai - bi - borrow
             return d >> 31, d & MASK
 
+        if self.unrolled:
+            borrow = jnp.zeros_like(aT[0])
+            outs = []
+            for i in range(NLIMB):
+                borrow, d = step(borrow, (aT[i], bT[i]))
+                outs.append(d)
+            return jnp.stack(outs, axis=-1), borrow
         # zeros_like keeps shard_map varying-axis types consistent with data
         borrow, diffT = jax.lax.scan(step, jnp.zeros_like(aT[0]), (aT, bT))
         return jnp.moveaxis(diffT, 0, -1), borrow
@@ -123,6 +136,13 @@ class FieldCtx:
             v = ab[0] + ab[1] + carry
             return v >> WBITS, v & MASK
 
+        if self.unrolled:
+            carry = jnp.zeros_like(aT[0])
+            outs = []
+            for i in range(NLIMB):
+                carry, s = step(carry, (aT[i], bT[i]))
+                outs.append(s)
+            return jnp.stack(outs, axis=-1)
         _, sT = jax.lax.scan(step, jnp.zeros_like(aT[0]), (aT, bT))
         return jnp.moveaxis(sT, 0, -1)
 
@@ -150,6 +170,70 @@ class FieldCtx:
         diff, _ = self._borrow_sub(jnp.broadcast_to(self._pj, a.shape), a)
         is_zero = jnp.all(a == 0, axis=-1, keepdims=True)
         return jnp.where(is_zero, jnp.zeros_like(a), diff)
+
+    def mul_cols(self, a, b):
+        """Unreduced product columns of a*b: uint32[..., 33], col < 2^21.
+
+        Lazy-reduction building block: columns of several products may be
+        ADDED together (bounds: k products -> columns < k * 2^21; keep
+        k <= 64) before a single :meth:`reduce_cols`."""
+        bshape = jnp.broadcast_shapes(a.shape[:-1], b.shape[:-1])
+        a = jnp.broadcast_to(a, bshape + (NLIMB,))
+        b = jnp.broadcast_to(b, bshape + (NLIMB,))
+        npad = len(bshape)
+        W = 2 * NLIMB + 1
+        parts = []
+        for i in range(NLIMB):
+            p = a[..., i : i + 1] * b
+            pad = [(0, 0)] * npad
+            parts.append(jnp.pad(p & MASK, pad + [(i, W - NLIMB - i)]))
+            parts.append(jnp.pad(p >> WBITS, pad + [(i + 1, W - NLIMB - i - 1)]))
+        return jnp.sum(jnp.stack(parts, 0), axis=0, dtype=U32)
+
+    def reduce_cols(self, acc, n_sub: int = 1):
+        """Montgomery-reduce 33 columns -> canonical 16 limbs.
+
+        ``n_sub`` conditional subtractions of p at the end: 1 suffices for a
+        single product (T < 2p); 2 for up to ~6 accumulated products, 3 for
+        up to 12 (the hard cap: T must stay < 2^256, i.e. < ~4.2p)."""
+        bshape = acc.shape[:-1]
+        n0 = np.uint32(self.n0)
+        pj = self._pj
+
+        def red_step(acc, _):
+            m = (acc[..., 0] * n0) & MASK
+            mp = m[..., None] * pj
+            acc = acc.at[..., 0:NLIMB].add(mp & MASK)
+            acc = acc.at[..., 1 : NLIMB + 1].add(mp >> WBITS)
+            acc = acc.at[..., 1].add(acc[..., 0] >> WBITS)
+            acc = jnp.roll(acc, -1, axis=-1)
+            acc = acc.at[..., -1].set(0)
+            return acc, None
+
+        if self.unrolled:
+            for _ in range(NLIMB):
+                acc, _ = red_step(acc, None)
+        else:
+            acc, _ = jax.lax.scan(red_step, acc, None, length=NLIMB)
+        colsT = jnp.moveaxis(acc[..., :NLIMB], -1, 0)
+
+        def carry_step(carry, col):
+            v = col + carry
+            return v >> WBITS, v & MASK
+
+        if self.unrolled:
+            carry = jnp.zeros_like(colsT[0])
+            outs = []
+            for i in range(NLIMB):
+                carry, s = carry_step(carry, colsT[i])
+                outs.append(s)
+            res = jnp.stack(outs, axis=-1)
+        else:
+            _, limbsT = jax.lax.scan(carry_step, jnp.zeros_like(colsT[0]), colsT)
+            res = jnp.moveaxis(limbsT, 0, -1)
+        for _ in range(n_sub):
+            res = self._cond_sub_p(res)
+        return res
 
     def mont_mul(self, a, b):
         """Montgomery product: a * b * R^-1 mod p.
@@ -190,7 +274,11 @@ class FieldCtx:
             acc = acc.at[..., -1].set(0)
             return acc, None
 
-        acc, _ = jax.lax.scan(red_step, acc, None, length=NLIMB)
+        if self.unrolled:
+            for _ in range(NLIMB):
+                acc, _ = red_step(acc, None)
+        else:
+            acc, _ = jax.lax.scan(red_step, acc, None, length=NLIMB)
 
         # --- final carry propagation: T < 2p < 2^255 fits 16 limbs ---
         colsT = jnp.moveaxis(acc[..., :NLIMB], -1, 0)
@@ -199,8 +287,16 @@ class FieldCtx:
             v = col + carry
             return v >> WBITS, v & MASK
 
-        _, limbsT = jax.lax.scan(carry_step, jnp.zeros_like(colsT[0]), colsT)
-        res = jnp.moveaxis(limbsT, 0, -1)
+        if self.unrolled:
+            carry = jnp.zeros_like(colsT[0])
+            outs = []
+            for i in range(NLIMB):
+                carry, s = carry_step(carry, colsT[i])
+                outs.append(s)
+            res = jnp.stack(outs, axis=-1)
+        else:
+            _, limbsT = jax.lax.scan(carry_step, jnp.zeros_like(colsT[0]), colsT)
+            res = jnp.moveaxis(limbsT, 0, -1)
         return self._cond_sub_p(res)
 
     def mont_sqr(self, a):
@@ -242,3 +338,6 @@ class FieldCtx:
 # Shared contexts for the two BN254 fields.
 FR = FieldCtx(bn254.FR_MOD, name="Fr")
 FP = FieldCtx(bn254.FP_MOD, name="Fp")
+# Unrolled variants for small-batch serial paths (same math, fused traces).
+FR_U = FieldCtx(bn254.FR_MOD, name="Fr", unrolled=True)
+FP_U = FieldCtx(bn254.FP_MOD, name="Fp", unrolled=True)

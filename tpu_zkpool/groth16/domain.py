@@ -83,6 +83,26 @@ def inverse(y: jnp.ndarray) -> jnp.ndarray:
     return FR.mont_mul(x, jnp.asarray(ninv_m))
 
 
+@functools.lru_cache(maxsize=None)
+def bitrev_perm(n: int) -> np.ndarray:
+    bits = n.bit_length() - 1
+    out = np.zeros(n, dtype=np.int32)
+    for i in range(n):
+        out[i] = int(bin(i)[2:].zfill(bits)[::-1], 2)
+    return out
+
+
+def interpolate_natural(evals: jnp.ndarray) -> jnp.ndarray:
+    """Natural-order domain evaluations -> coefficients.
+
+    ``inverse`` consumes the bit-reversed layout that ``forward`` produces;
+    natural-order evaluations (E[i] = P(omega^i)) need the bit-reversal
+    gather first.
+    """
+    n = evals.shape[-2]
+    return inverse(evals[..., jnp.asarray(bitrev_perm(n)), :])
+
+
 def coset_forward(coeffs: jnp.ndarray) -> jnp.ndarray:
     """Evaluate a coefficient vector on the coset g*omega^i (BR order)."""
     n = coeffs.shape[-2]

@@ -171,6 +171,11 @@ def msm_pallas(curve: CurveOps, points, digits, c: int = WINDOW_BITS,
     """
     from tpu_zkpool.curve import curve_pallas as cp
 
+    # (measured: routing the small serial stages through the unrolled-field
+    # curve REGRESSED TPU time 13.8s -> 18.5s at N=2^14 — the scan-based ops
+    # fuse better through this compiler; keep the scan curve everywhere)
+    sc = curve
+
     X, Y, Z = points
     n = X.shape[0]
     n_windows = digits.shape[1]
@@ -202,10 +207,10 @@ def msm_pallas(curve: CurveOps, points, digits, c: int = WINDOW_BITS,
         # two-level XLA prefix: inclusive-with-identity-prepended[i] is the
         # exclusive prefix at i.
         totals = tuple(a[-1] for a in pref_steps)  # (lanes, 16)
-        tot_pref = _chunked_prefix(curve, totals, 64)
+        tot_pref = _chunked_prefix(sc, totals, 64)
         chunk_excl = tuple(a[:-1] for a in tot_pref)
         # global prefix at index i (i = c*k_steps + j):
-        glob = curve.add(
+        glob = sc.add(
             tuple(jnp.moveaxis(a, 0, 1).reshape(n, 16) for a in pref_steps),
             tuple(jnp.repeat(a, k_steps, axis=0) for a in chunk_excl),
         )
@@ -216,28 +221,43 @@ def msm_pallas(curve: CurveOps, points, digits, c: int = WINDOW_BITS,
         buckets = jnp.arange(n_buckets, dtype=ds.dtype)
         starts = jnp.searchsorted(ds, buckets, side="left")
         ends = jnp.searchsorted(ds, buckets, side="right")
-        B = curve.add(
+        B = sc.add(
             tuple(p[ends] for p in pref),
-            _neg(curve, tuple(p[starts] for p in pref)),
+            _neg(sc, tuple(p[starts] for p in pref)),
         )
-        Brev = tuple(arr[1:][::-1] for arr in B)
+        return tuple(arr[1:] for arr in B)  # (n_buckets-1, 16) x3
 
-        def runsum(carry, b):
-            acc, tot = carry
-            acc = curve.add(acc, b)
-            tot = curve.add(tot, acc)
-            return (acc, tot), None
+    # Phase A: bucket values for every window (serial over windows; the O(N)
+    # prefix inside runs on the Pallas kernel).
+    def collect(_, w):
+        return None, window_sum(w)
 
-        (acc, tot), _ = jax.lax.scan(
-            runsum, (curve.identity(()), curve.identity(())), Brev)
-        return tot
+    _, Ball = jax.lax.scan(collect, None, jnp.arange(n_windows))
+    # Ball: (n_windows, n_buckets-1, 16) x3
 
+    # Phase B: bucket reduction batched ACROSS windows — one 255-step scan
+    # of n_windows-wide adds instead of per-window serial scans.
+    Brev = tuple(arr[:, ::-1] for arr in Ball)
+
+    def runsum(carry, idx):
+        acc, tot = carry
+        b = tuple(arr[:, idx] for arr in Brev)
+        acc = sc.add(acc, b)
+        tot = sc.add(tot, acc)
+        return (acc, tot), None
+
+    ident_w = (curve.F.zeros((n_windows,)),) * 3
+    (acc, tot), _ = jax.lax.scan(
+        runsum, (ident_w, ident_w), jnp.arange(n_buckets - 1))
+    # tot[w] = window w's sum
+
+    # Phase C: Horner over windows, MSB first.
     def horner(acc, w):
         for _ in range(c):
-            acc = curve.double(acc)
-        return curve.add(acc, window_sum(n_windows - 1 - w)), None
+            acc = sc.double(acc)
+        return sc.add(acc, tuple(arr[n_windows - 1 - w] for arr in tot)), None
 
-    acc, _ = jax.lax.scan(horner, curve.identity(()), jnp.arange(n_windows))
+    acc, _ = jax.lax.scan(horner, sc.identity(()), jnp.arange(n_windows))
     return acc
 
 
