@@ -1,6 +1,17 @@
-"""Pippenger MSM vs. the affine oracle (small sizes; perf runs in bench)."""
+"""Pippenger MSM vs. the affine oracle (small sizes; perf runs in bench).
 
+Gated behind RUN_SLOW=1: the MSM graph takes minutes of XLA-CPU compile.
+The MSM is additionally cross-checked against the native C++ implementation
+in the TPU integration runs (docs/PLAN.md).
+"""
+
+import os
 import random
+
+import pytest
+
+pytestmark = pytest.mark.skipif(os.environ.get("RUN_SLOW") != "1",
+                                reason="minutes of XLA compile (RUN_SLOW=1)")
 
 import jax.numpy as jnp
 import numpy as np
