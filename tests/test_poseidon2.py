@@ -1,8 +1,8 @@
-"""Poseidon2 permutation + ct_commitment sponge (structure tests).
+"""Poseidon2 permutation + ct_commitment sponge conformance tests.
 
-The permutation structure and rate-3 sponge are exact per the reference
-(``ct_helper/src/main.nr``); the constant tables await an external
-conformance vector (see hash/poseidon2.py docstring).
+Conformance target is Barretenberg's poseidon2 (the ACVM blackbox behind
+``ct_helper/src/main.nr:23``); pinned by bb's permutation test vector in
+test_bb_conformance_vector.
 """
 
 import jax.numpy as jnp
@@ -10,6 +10,29 @@ import numpy as np
 
 from tpu_zkpool.fields.fctx import FR
 from tpu_zkpool.hash import poseidon2
+
+
+def test_bb_conformance_vector():
+    """Barretenberg Poseidon2Bn254ScalarFieldParams permutation vector:
+    permutation(0, 1, 2, 3). Pins the Grain round-constant stream, the
+    draw order, the M4 external matrix, and the internal diagonal."""
+    got = poseidon2.permutation_ref([0, 1, 2, 3])
+    assert got == [
+        0x01bd538c2ee014ed5141b29e9ae240bf8db3fe5b9a38629a9647cf8d76c01737,
+        0x239b62e7db98aa3a2a8f6a0d2fa1709e7a35959aa6c7034814d9daa90cbac662,
+        0x04cbb44c61d928ed06808456bf758cbf0c18d1e15a7b6dbc8245fa7515d5e3cb,
+        0x2e11c5cff2a22c64d01304b778d78f6998eff1ab73163a35603f54794c30847a,
+    ]
+
+
+def test_bb_first_round_constants():
+    """First external round-constant row as published in bb's
+    poseidon2_params (cross-checks the generated Grain stream)."""
+    ext, internal, diag = poseidon2.poseidon2_constants()
+    assert ext[0][0] == (
+        0x19b849f69450b06848da1d39bd5e4a4302bb86744edc26238b0878e269ed23e5)
+    assert ext[0][1] == (
+        0x265ddfe127dd51bd7239347b758f0a1320eb2cc7450acc1dad47f80c8dcf34d6)
 
 
 def test_tpu_permutation_matches_python_ref():

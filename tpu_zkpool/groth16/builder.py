@@ -165,8 +165,10 @@ class CircuitBuilder:
             for si in s:
                 for v, co in si.items():
                     tot[v] = (tot.get(v, 0) + co) % R
+            # internal matrix row i = sum_j s_j + diag_i * s_i (diag holds
+            # bb's mu-1 values)
             s = [
-                {v: (tot.get(v, 0) + (diag[i] - 1) * s[i].get(v, 0)) % R
+                {v: (tot.get(v, 0) + diag[i] * s[i].get(v, 0)) % R
                  for v in set(tot) | set(s[i])}
                 for i in range(4)
             ]

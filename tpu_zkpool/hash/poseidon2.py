@@ -7,13 +7,16 @@ x^5 S-box, external matrix M4 = circ-like [[5,7,1,3],[4,6,1,1],[1,3,5,7],
 [1,1,4,6]], internal matrix = all-ones + diag, and a rate-3/capacity-1
 absorption sponge over the 157 packed ciphertext fields.
 
-CONFORMANCE NOTE: the reference's `std::hash::poseidon2_permutation` uses
-Barretenberg's round constants, which are not derivable from any committed
-artifact in the reference repo (the audit circuit's compiled artifacts are
-stripped — SURVEY.md §7.3 item 7). The constants here are generated with the
-same Grain-LFSR procedure validated for Poseidon(1); the permutation
-structure and sponge are exact, and the constant tables are isolated in
-``poseidon2_constants()`` so a conformance vector can pin or replace them.
+CONFORMANCE: the reference's `std::hash::poseidon2_permutation` uses
+Barretenberg's parameters (the ACVM blackbox the audit circuit's sunspot
+backend must agree with — ``ct_helper/src/main.nr:23``). These are now
+reproduced bit-exactly: the round constants are the Grain-LFSR stream
+(1, 0, 254, t=4, R_F=8, R_P=56) with rejection sampling, drawn in round
+order — 4 pre-full rounds x 4, 56 internal singles, 4 post-full rounds x 4
+— and the internal matrix is all-ones + diag(mu) with the mu-1 diagonal
+pinned below (bb's ``internal_matrix_diagonal``). Validated against bb's
+permutation test vector: permutation(0,1,2,3) — see
+``tests/test_poseidon2.py::test_bb_conformance_vector``.
 """
 
 from __future__ import annotations
@@ -35,15 +38,31 @@ R_P = 56
 
 M4 = [[5, 7, 1, 3], [4, 6, 1, 1], [1, 3, 5, 7], [1, 1, 4, 6]]
 
+# Barretenberg's internal matrix diagonal (mu - 1 values): M_I row i =
+# sum_j s_j + DIAG_M1[i] * s_i. Conformance-pinned by the permutation
+# test vector (tests/test_poseidon2.py).
+DIAG_M1 = [
+    0x10dc6e9c006ea38b04b1e03b4bd9490c0d03f98929ca1d7fb56821fd19d3b6e7,
+    0x0c28145b6a44df3e0149b3d0a30b3bb599df9756d4dd9b84a86b38cfb45a740b,
+    0x00544b8338791518b2c7645a50392798b21f75bb60e3596170067d00141cac15,
+    0x222c01175718386f2e2e82eb122789e352e105a3b8fa852613bc534433ee428b,
+]
+
 
 @functools.lru_cache(maxsize=None)
 def poseidon2_constants(p: int = FR_MOD):
-    """(external_rc [R_F][T], internal_rc [R_P], internal_diag [T])."""
+    """(external_rc [R_F][T], internal_rc [R_P], internal_diag_m1 [T]).
+
+    Round constants come from the Grain LFSR in ROUND order (bb layout):
+    the 4 pre-full rounds' 4 constants each, then one constant per internal
+    round, then the 4 post-full rounds.
+    """
     g = _GrainLFSR(1, 0, 254, T, R_F, R_P)
-    ext = [[g.field_element(254, p) for _ in range(T)] for _ in range(R_F)]
+    half = R_F // 2
+    ext_pre = [[g.field_element(254, p) for _ in range(T)] for _ in range(half)]
     internal = [g.field_element(254, p) for _ in range(R_P)]
-    diag = [g.field_element(254, p) for _ in range(T)]
-    return ext, internal, diag
+    ext_post = [[g.field_element(254, p) for _ in range(T)] for _ in range(half)]
+    return ext_pre + ext_post, internal, list(DIAG_M1)
 
 
 # ------------------------------------------------------------ reference path
@@ -65,7 +84,7 @@ def permutation_ref(state, p: int = FR_MOD):
         s[0] = (s[0] + int_rc[r]) % p
         s[0] = pow(s[0], 5, p)
         tot = sum(s) % p
-        s = [(tot + (diag[i] - 1) * s[i]) % p for i in range(T)]
+        s = [(tot + diag[i] * s[i]) % p for i in range(T)]
     for r in range(half, R_F):
         s = [(x + c) % p for x, c in zip(s, ext_rc[r])]
         s = [pow(x, 5, p) for x in s]
@@ -99,7 +118,7 @@ def _mont_tables():
     ext, internal, diag = poseidon2_constants()
     ext_m = FR.to_mont(np.array(ext, dtype=object))            # (R_F, 4, 16)
     int_m = FR.to_mont(np.array(internal, dtype=object))       # (R_P, 16)
-    diag_m = FR.to_mont(np.array([d - 1 for d in diag], dtype=object))
+    diag_m = FR.to_mont(np.array(diag, dtype=object))          # mu - 1 values
     return ext_m, int_m, diag_m
 
 
