@@ -43,7 +43,8 @@ def main():
     wa = poseidon_hash_ref([vectors.OWNER_X, vectors.OWNER_Y])
     ct = ct_commitment_of(enc)
     w = circ.builder.witness(
-        circ.assignment(vectors.OWNER_X, vectors.OWNER_Y, enc, wa, ct))
+        circ.assignment(vectors.OWNER_X, vectors.OWNER_Y, enc, wa, ct,
+                        vectors.SECRET_KEY))
     assert r1cs.is_satisfied(w)
     print(f"wa={hex(wa)[:18]} ct={hex(ct)[:18]}; witness satisfied")
 

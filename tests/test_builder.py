@@ -1,6 +1,7 @@
 """R1CS builder gadgets vs. the hash references."""
 
 from tpu_zkpool.groth16.builder import CircuitBuilder
+from tpu_zkpool.fields.bn254 import FR_MOD as R
 from tpu_zkpool.hash.poseidon_params import poseidon_hash_ref
 from tpu_zkpool.hash import poseidon2
 
@@ -42,3 +43,28 @@ def test_bits_gadget():
     assert [w[bv] for bv in bits[:8]] == [1, 1, 1, 1, 0, 1, 1, 1]
     # out-of-range value fails the decomposition constraint
     assert not r1cs.is_satisfied(b.witness({x: 1 << 16}))
+
+
+def test_fixed_base_gadget_in_builder():
+    """sk*G gadget (gadgets.py) against the committed identity vector:
+    SECRET_KEY * G == (OWNER_X, OWNER_Y); a forged point fails."""
+    import vectors
+    from tpu_zkpool.groth16.gadgets import (
+        fixed_base_scalar_mul_gadget, _aff_dbl)
+
+    b = CircuitBuilder()
+    v_x = b.public_input()
+    v_y = b.public_input()
+    v_sk = b.private_input()
+    v_lo = b.aux(lambda w: w[v_sk] & ((1 << 128) - 1))
+    v_hi = b.aux(lambda w: w[v_sk] >> 128)
+    b.assert_eq({v_sk: 1}, {v_lo: 1, v_hi: pow(2, 128, R)})
+    fixed_base_scalar_mul_gadget(b, {v_lo: 1}, {v_hi: 1},
+                                 {v_x: 1}, {v_y: 1})
+    r1cs = b.r1cs()
+    w = b.witness({v_x: vectors.OWNER_X, v_y: vectors.OWNER_Y,
+                   v_sk: vectors.SECRET_KEY})
+    assert r1cs.is_satisfied(w)
+    fx, fy = _aff_dbl((vectors.OWNER_X, vectors.OWNER_Y))
+    wbad = b.witness({v_x: fx, v_y: fy, v_sk: vectors.SECRET_KEY})
+    assert not r1cs.is_satisfied(wbad)

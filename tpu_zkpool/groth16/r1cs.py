@@ -10,10 +10,10 @@ Mapping:
 - AssertZero gates with one mul term become a single rank-1 constraint; k>1
   mul terms introduce k-1 auxiliary product variables.
 - RANGE checks become bit decompositions (b^2 = b, sum 2^i b_i = x).
-- Blackbox curve ops (the one fixed-base MSM in the withdraw circuit) are
-  currently prover-supplied witnesses — their defining constraints are the
-  backend's responsibility in ACVM's model; an in-circuit scalar-mul gadget
-  closes this soundness gap in a follow-up (tracked in docs/PLAN.md).
+- The fixed-base MSM blackbox (sk * G in the withdraw circuit,
+  ``noir_circuit/src/main.nr:55-63``) is bound by the in-circuit
+  double-and-add gadget in ``groth16/gadgets.py`` — a forged owner point
+  no longer satisfies the system (soundness parity with the reference).
 """
 
 from __future__ import annotations
@@ -23,6 +23,7 @@ from dataclasses import dataclass, field
 from tpu_zkpool.fields.bn254 import FR_MOD as R
 from tpu_zkpool.refimpl.groth16_ref import R1CS
 from tpu_zkpool.groth16.acir import Program
+from tpu_zkpool.groth16 import gadgets
 
 
 @dataclass
@@ -86,7 +87,41 @@ def convert(program: Program) -> AcirR1CS:
                 sum_row[bv] = pow(2, i, R)
             aux_builders.append(("bits", xv, first_bit_var, bits))
             add_constraint(sum_row, {0: 1}, {xv: 1})
-        elif op.kind in ("brillig_call", "multi_scalar_mul", "embedded_curve_add",
+        elif op.kind == "multi_scalar_mul":
+            # fixed-base scalar mul: bind the output point with the
+            # in-circuit double-and-add gadget (gadgets.py). The withdraw
+            # artifact has exactly one constant base point (the embedded
+            # generator) and (lo, hi) scalar limbs.
+            points = op.data["points"]
+            scalars = op.data["scalars"]
+            ox, oy, oinf = op.data["out"]
+            if (len(points) != 3 or len(scalars) != 2
+                    or points[0] != ("const", gadgets.EMBEDDED_GX)
+                    or points[1] != ("const", gadgets.EMBEDDED_GY)):
+                raise NotImplementedError(
+                    "only single fixed-base (generator) MSM supported")
+
+            def fi_lc(fi):
+                kind, v = fi
+                return {0: v % R} if kind == "const" else {var(v): 1}
+
+            class _Adapter:
+                def aux(self_, fn):
+                    nonlocal next_var
+                    v = next_var
+                    next_var += 1
+                    aux_builders.append(("fn", v, fn))
+                    return v
+
+                def constrain(self_, a, b, c):
+                    add_constraint(a, b, c)
+
+            gadgets.fixed_base_scalar_mul_gadget(
+                _Adapter(), fi_lc(scalars[0]), fi_lc(scalars[1]),
+                {var(ox): 1}, {var(oy): 1})
+            # result is never infinity under the gadget's constraints
+            add_constraint({var(oinf): 1}, {0: 1}, {})
+        elif op.kind in ("brillig_call", "embedded_curve_add",
                          "poseidon2_permutation", "memory_init", "memory_op",
                          "and", "xor"):
             # outputs are witnesses; arithmetic binding (where required by
@@ -115,6 +150,9 @@ def build_witness(ar: AcirR1CS, acir_witness: dict) -> list:
         if item[0] == "mul":
             _, tvar, av, bv = item
             w[tvar] = w[av] * w[bv] % R
+        elif item[0] == "fn":
+            _, tvar, fn = item
+            w[tvar] = fn(w)
         else:
             _, xv, first_bit_var, bits = item
             x = w[xv]

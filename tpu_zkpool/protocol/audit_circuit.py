@@ -15,8 +15,10 @@ Proves, for public (wa_commitment, ct_commitment):
       c1[i] + k1[i]*Q == <PK_A_ROW[i], r> + e2[i]                  (1024 rows)
     with the negacyclic PK rows embedded as circuit constants.
 
-The owner point's curve derivation (sk*G) is, as in our withdraw R1CS, a
-hinted witness pending the scalar-mul gadget (docs/PLAN.md).
+The owner point's curve derivation is CONSTRAINED in-circuit: secret_key
+is split into 128-bit limbs and bound via the fixed-base scalar-mul gadget
+(``groth16/gadgets.py``), matching the reference's
+``fixed_base_scalar_mul(scalar)`` at ``scripts/generate_audit.py:417-422``.
 """
 
 from __future__ import annotations
@@ -25,6 +27,7 @@ from dataclasses import dataclass
 
 from tpu_zkpool.fields.bn254 import FR_MOD as R
 from tpu_zkpool.groth16.builder import CircuitBuilder, lc
+from tpu_zkpool.groth16.gadgets import fixed_base_scalar_mul_gadget
 from tpu_zkpool.refimpl.rlwe_ref import (
     DELTA, MSG_SLOTS, N, PACK_BITS, PACK_WIDTH, RLWE_Q,
     negacyclic_matrix_row, pack_values,
@@ -41,6 +44,7 @@ class AuditCircuit:
     v_ct: int
     v_owner_x: int
     v_owner_y: int
+    v_sk: int
     v_c0_packed: list
     v_c1_packed: list
     v_r: list
@@ -50,10 +54,11 @@ class AuditCircuit:
     v_k1: list
 
     def assignment(self, owner_x: int, owner_y: int, enc: dict,
-                   wa: int, ct: int) -> dict:
+                   wa: int, ct: int, sk: int) -> dict:
         """Input map from an encryption record (refimpl.rlwe_ref.encrypt)."""
         a = {self.v_wa: wa, self.v_ct: ct,
-             self.v_owner_x: owner_x, self.v_owner_y: owner_y}
+             self.v_owner_x: owner_x, self.v_owner_y: owner_y,
+             self.v_sk: sk}
         c0p = pack_values(enc["c0_sparse"])
         c1p = pack_values(enc["c1"])
         for v, val in zip(self.v_c0_packed, c0p):
@@ -113,11 +118,20 @@ def build_audit_circuit(pk_a: list, pk_b: list) -> AuditCircuit:
     v_c1p = [b.private_input() for _ in range(PACKED_C1)]
     v_x = b.private_input()
     v_y = b.private_input()
+    v_sk = b.private_input()
     v_r = [b.private_input() for _ in range(N)]
     v_e1 = [b.private_input() for _ in range(MSG_SLOTS)]
     v_e2 = [b.private_input() for _ in range(N)]
     v_k0 = [b.private_input() for _ in range(MSG_SLOTS)]
     v_k1 = [b.private_input() for _ in range(N)]
+
+    # 0. owner point derivation: sk * G == (x, y) in-circuit
+    # (generate_audit.py:417-422 semantics: 128-bit lo/hi limb split)
+    v_lo = b.aux(lambda w, v=v_sk: w[v] & ((1 << 128) - 1))
+    v_hi = b.aux(lambda w, v=v_sk: w[v] >> 128)
+    b.assert_eq({v_sk: 1}, {v_lo: 1, v_hi: pow(2, 128, R)})
+    fixed_base_scalar_mul_gadget(b, {v_lo: 1}, {v_hi: 1},
+                                 {v_x: 1}, {v_y: 1})
 
     # 1. wa_commitment = Poseidon1(x, y)
     h = b.poseidon_hash([{v_x: 1}, {v_y: 1}])
@@ -171,7 +185,7 @@ def build_audit_circuit(pk_a: list, pk_b: list) -> AuditCircuit:
     state = b.poseidon2_permutation(state)
     b.assert_eq(state[0], {v_ct: 1})
 
-    return AuditCircuit(b, v_wa, v_ct, v_x, v_y, v_c0p, v_c1p,
+    return AuditCircuit(b, v_wa, v_ct, v_x, v_y, v_sk, v_c0p, v_c1p,
                         v_r, v_e1, v_e2, v_k0, v_k1)
 
 
