@@ -100,6 +100,10 @@ class ProvingKey:
     b2_query: list     # [v_i(tau)]_2
     k_query: list      # [(beta u_i + alpha v_i + w_i)/delta]_1, private i
     h_query: list      # [tau^i t(tau)/delta]_1
+    # gnark-style Pedersen commitment extension (None when unused):
+    committed: tuple = ()          # committed private wire indices (sorted)
+    basis: tuple = ()              # [( . )/gamma]_1 per committed wire
+    basis_exp_sigma: tuple = ()    # sigma * basis
 
 
 @dataclass
@@ -109,11 +113,19 @@ class VerifyingKey:
     gamma2: tuple
     delta2: tuple
     gamma_abc: list    # [(beta u_i + alpha v_i + w_i)/gamma]_1, public i
+    commitment_key: tuple | None = None   # (G g2, GSigmaNeg g2)
+    committed: tuple = ()                 # committed private wire indices
 
 
-def setup(r1cs: R1CS, seed: int = 1337) -> tuple:
+def setup(r1cs: R1CS, seed: int = 1337, committed=()) -> tuple:
+    """``committed``: private wire indices bound by a gnark-style Pedersen
+    commitment instead of the delta leg (their basis points move to the
+    gamma leg and the commitment's hash-to-field becomes an extra public
+    input — the committed VKs' layout, ``groth16/gnark_fmt.py``). The
+    commitment-hash wire must be the LAST declared public input."""
     rng = random.Random(seed)
     tau, alpha, beta, gamma, delta = (rng.randrange(1, R) for _ in range(5))
+    committed = tuple(sorted(committed))
 
     m = len(r1cs.a_rows)
     n = 1
@@ -157,19 +169,31 @@ def setup(r1cs: R1CS, seed: int = 1337) -> tuple:
         g1_batch = lambda ks: [pr.g1_mul(k % R, G1_GEN) for k in ks]
         g2_batch = lambda ks: [pr.g2_mul(k % R, G2_GEN) for k in ks]
 
+    cset = set(committed)
+    assert all(r1cs.num_public <= i < nv for i in committed)
+    priv_idx = [i for i in range(r1cs.num_public, nv) if i not in cset]
     k_scalars = [
         (beta * u[i] + alpha * v[i] + w[i]) * inv_delta % R
-        for i in range(r1cs.num_public, nv)
+        for i in priv_idx
     ]
+    basis_scalars = [
+        (beta * u[i] + alpha * v[i] + w[i]) * inv_gamma % R
+        for i in committed
+    ]
+    sigma = rng.randrange(1, R)
+    g2r = rng.randrange(1, R)
     h_scalars = [pow(tau, i, R) * t_tau % R * inv_delta % R for i in range(n - 1)]
     abc_scalars = [
         (beta * u[i] + alpha * v[i] + w[i]) * inv_gamma % R
         for i in range(r1cs.num_public)
     ]
+    basis_sigma_scalars = [b * sigma % R for b in basis_scalars]
     flat = ([alpha, beta, delta] + [ui % R for ui in u] + [vi % R for vi in v]
-            + k_scalars + h_scalars + abc_scalars)
+            + k_scalars + h_scalars + abc_scalars
+            + basis_scalars + basis_sigma_scalars)
     g1s = g1_batch(flat)
-    g2s = g2_batch([beta, delta, gamma] + [vi % R for vi in v])
+    g2s = g2_batch([beta, delta, gamma] + [vi % R for vi in v]
+                   + [g2r, (R - sigma * g2r) % R])
     o = 3
     a_query = g1s[o : o + nv]
     b1_query = g1s[o + nv : o + 2 * nv]
@@ -179,6 +203,10 @@ def setup(r1cs: R1CS, seed: int = 1337) -> tuple:
     h_query = g1s[o2 : o2 + len(h_scalars)]
     o2 += len(h_scalars)
     gamma_abc = g1s[o2 : o2 + len(abc_scalars)]
+    o2 += len(abc_scalars)
+    basis = tuple(g1s[o2 : o2 + len(basis_scalars)])
+    o2 += len(basis_scalars)
+    basis_sigma = tuple(g1s[o2 : o2 + len(basis_sigma_scalars)])
 
     pk = ProvingKey(
         n_domain=n,
@@ -186,10 +214,13 @@ def setup(r1cs: R1CS, seed: int = 1337) -> tuple:
         beta2=g2s[0], delta2=g2s[1],
         a_query=a_query, b1_query=b1_query, b2_query=g2s[3 : 3 + nv],
         k_query=k_query, h_query=h_query,
+        committed=committed, basis=basis, basis_exp_sigma=basis_sigma,
     )
     vk = VerifyingKey(
         alpha1=g1s[0], beta2=g2s[0], gamma2=g2s[2], delta2=g2s[1],
         gamma_abc=gamma_abc,
+        commitment_key=(g2s[3 + nv], g2s[4 + nv]) if committed else None,
+        committed=committed,
     )
     return pk, vk
 
@@ -276,22 +307,54 @@ def prove(pk: ProvingKey, r1cs: R1CS, w_full: list, seed: int = 7):
     h = compute_h(r1cs, w_full, n)
     HT = _msm(pk.h_query, h[: n - 1])
 
-    Kpriv = _msm(pk.k_query, w_full[r1cs.num_public:])
+    if pk.committed:
+        cset = set(pk.committed)
+        priv_w = [w_full[i] for i in range(r1cs.num_public, len(w_full))
+                  if i not in cset]
+    else:
+        priv_w = w_full[r1cs.num_public:]
+    Kpriv = _msm(pk.k_query, priv_w)
     C = pr.g1_add(Kpriv, HT)
     C = pr.g1_add(C, pr.g1_mul(s_rand, A) if s_rand else None)
     C = pr.g1_add(C, pr.g1_mul(r_rand, B1) if r_rand else None)
     rs = r_rand * s_rand % R
     C = pr.g1_add(C, pr.g1_mul((R - rs) % R, pk.delta1) if rs else None)
+    if pk.committed:
+        from tpu_zkpool.refimpl import pedersen
+        cm, pok = pedersen.commit(
+            list(pk.basis), list(pk.basis_exp_sigma),
+            [w_full[i] for i in pk.committed])
+        return (A, B2, C, cm, pok)
     return (A, B2, C)
 
 
 # ------------------------------------------------------------------ verify
 
 def verify(vk: VerifyingKey, proof: tuple, public_inputs: list) -> bool:
-    A, B2, C = proof
+    """Groth16 verify incl. the gnark commitment extension: when the VK
+    carries committed wires, the proof must supply (Commitment, Pok); the
+    verifier derives the commitment's hash-to-field as the final public
+    input, folds the commitment into the gamma leg, and checks the
+    proof-of-knowledge pairing (matching the committed verifier programs,
+    ``withdraw.rs:163-175`` / ``gnark_fmt.py`` layouts)."""
+    from tpu_zkpool.refimpl import pedersen
+    cm = pok = None
+    if len(proof) == 5:
+        A, B2, C, cm, pok = proof
+    else:
+        A, B2, C = proof
+    if getattr(vk, "committed", ()) and cm is None:
+        return False  # commitment required by this VK
+    pubs = list(public_inputs)
+    if cm is not None:
+        if not pedersen.verify_pok(cm, pok, vk.commitment_key):
+            return False
+        pubs.append(pedersen.commitment_to_field(cm))
     acc = vk.gamma_abc[0]
-    for pi, pnt in zip(public_inputs, vk.gamma_abc[1:]):
+    for pi, pnt in zip(pubs, vk.gamma_abc[1:]):
         acc = pr.g1_add(acc, pr.g1_mul(pi % R, pnt) if pi % R else None)
+    if cm is not None:
+        acc = pr.g1_add(acc, cm)
     lhs = pr.pairing(A, B2)
     rhs = pr.pairing(vk.alpha1, vk.beta2)
     rhs = pr.f12_mul(rhs, pr.pairing(acc, vk.gamma2))
