@@ -1,0 +1,132 @@
+"""Grid MSM pipeline tests (msm/grid.py) on the portable XLA backend.
+
+The full pipeline (signed digits -> sort -> chunked prefix -> cross-chunk
+combine -> boundary buckets -> weighted-suffix reduction -> Horner) runs
+end-to-end against the native C++ Pippenger oracle. The Pallas backend
+executes the IDENTICAL pipeline with the same generic point formulas and
+is validated on real TPU by bench.py / scripts (Mosaic is TPU-only and
+XLA-CPU cannot compile the unrolled register-limb kernels in reasonable
+time — see grid.py docstring).
+"""
+
+import random
+
+import jax.numpy as jnp
+import numpy as np
+
+from tpu_zkpool.curve.weierstrass import G1
+from tpu_zkpool.fields.bn254 import FR_MOD
+from tpu_zkpool.fields.limbs import ints_to_limbs, NLIMB
+from tpu_zkpool.refimpl import pairing_ref as pr
+from tpu_zkpool import native_bridge
+from tpu_zkpool.msm import grid as mg
+
+
+def _points(n, seed=0):
+    rng = random.Random(seed)
+    ks = [rng.randrange(1, 1 << 62) for _ in range(n)]
+    return native_bridge.g1_gen_mul_batch(ks)
+
+
+def _rows_from_affine(aff):
+    X, Y, Z = G1.from_affine_ints([p[0] for p in aff], [p[1] for p in aff])
+    return jnp.stack([X, Y, Z], axis=1)[:, :, None, :]
+
+
+def _row_to_affine(row):
+    """(3, 1, 16) Jacobian Montgomery -> (x, y) ints or None for infinity."""
+    row = np.asarray(row)
+    X, Y, Z = (jnp.asarray(row[i, 0][None]) for i in range(3))
+    xs, ys = G1.to_affine_ints((X, Y, Z))
+    x, y = int(np.asarray(xs).reshape(-1)[0]), int(np.asarray(ys).reshape(-1)[0])
+    return None if (x, y) == (0, 0) else (x, y)
+
+
+def test_signed_digits_reconstruct():
+    rng = random.Random(1)
+    c = 13
+    ks = [rng.randrange(0, FR_MOD) for _ in range(8)] + [0, 1, (1 << 254) - 1]
+    limbs = jnp.asarray(ints_to_limbs(ks))
+    bucket, neg = mg.signed_digits(limbs, c)
+    bucket, neg = np.asarray(bucket), np.asarray(neg)
+    for i, k in enumerate(ks):
+        acc = 0
+        for w in range(mg.n_windows(c)):
+            d = int(bucket[i, w]) * (-1 if neg[i, w] else 1)
+            acc += d << (c * w)
+        assert acc == k, f"scalar {i}"
+
+
+def test_xla_prefix_vs_oracle():
+    n = 2048  # k = 2, 1024 chunks of 2
+    aff = _points(n)
+    rows = _rows_from_affine(aff)
+    be = mg.XlaBackend(ncomp=1)
+    pref = np.asarray(be.prefix(rows, 2, mixed=True))
+    rng = random.Random(7)
+    for _ in range(6):
+        i = rng.randrange(n)
+        chunk, off = i // 2, i % 2
+        exp = None
+        for j in range(off + 1):
+            exp = pr.g1_add(exp, aff[chunk * 2 + j])
+        assert _row_to_affine(pref[i]) == exp, f"prefix at {i}"
+    # identity padding rows stay identity through the mixed add
+    rows_pad = jnp.asarray(np.concatenate(
+        [np.asarray(rows)[:1024], np.zeros((1024, 3, 1, NLIMB), np.uint32)]))
+    pref2 = np.asarray(be.prefix(rows_pad, 2, mixed=True))
+    # rows 1024.. are padding -> chunks 512.. are all-identity
+    assert _row_to_affine(pref2[1025]) is None
+    assert _row_to_affine(pref2[1]) == pr.g1_add(aff[0], aff[1])
+
+
+def test_xla_wsum():
+    L, lanes = 4, 3
+    aff = _points(L * lanes, seed=11)
+    B = np.asarray(_rows_from_affine(aff)).reshape(lanes, L, 3, 1, NLIMB)
+    be = mg.XlaBackend(ncomp=1)
+    acc, tot = be.wsum(jnp.asarray(B))
+    for m in range(lanes):
+        ea, et = None, None
+        for l in range(L):
+            p = aff[m * L + l]
+            ea = pr.g1_add(ea, p)
+            for _ in range(l + 1):
+                et = pr.g1_add(et, p)
+        assert _row_to_affine(np.asarray(acc)[m]) == ea, f"acc lane {m}"
+        assert _row_to_affine(np.asarray(tot)[m]) == et, f"tot lane {m}"
+
+
+def test_xla_horner():
+    W, c = 3, 4
+    aff = _points(W, seed=21)
+    S = _rows_from_affine(aff)
+    be = mg.XlaBackend(ncomp=1)
+    got = _row_to_affine(np.asarray(be.horner(S, c)))
+    exp = None
+    for w in range(W - 1, -1, -1):
+        if exp is not None:
+            exp = pr.g1_mul(1 << c, exp)
+        exp = pr.g1_add(exp, aff[w])
+    assert got == exp
+
+
+import os
+import pytest
+
+
+@pytest.mark.skipif(os.environ.get("RUN_SLOW") != "1",
+                    reason="~15 min XLA-CPU compile (RUN_SLOW=1); passes")
+def test_msm_grid_full_xla():
+    n = 1024
+    rng = random.Random(42)
+    aff = _points(n, seed=5)
+    ks = [rng.randrange(0, FR_MOD) for _ in range(n)]
+    rows = _rows_from_affine(aff)
+    pts = (rows[:, 0, 0], rows[:, 1, 0], rows[:, 2, 0])
+    limbs = jnp.asarray(ints_to_limbs(ks))
+    X, Y, Z = mg.msm_grid_g1(pts, limbs, c=13, backend="xla")
+    got = _row_to_affine(np.stack([np.asarray(X)[None], np.asarray(Y)[None],
+                                   np.asarray(Z)[None]]))
+    exp = native_bridge.g1_msm(ks, aff)
+    assert got == exp
