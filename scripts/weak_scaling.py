@@ -1,0 +1,123 @@
+"""Weak-scaling harness for the sharded MSM / NTT (BASELINE.md 2^22 target).
+
+Runs the point-sharded grid MSM at a FIXED per-device load over meshes of
+1, 2, 4, 8 devices and reports throughput + efficiency vs the 1-device
+run, plus the sharded-NTT scaling. On this machine only a virtual CPU mesh
+(or the single tunneled TPU chip) is available, so the virtual numbers
+measure the sharding overheads (collective count, fold depth), not ICI —
+the same harness runs unchanged on a real slice.
+
+Usage:
+  python scripts/weak_scaling.py [--per-device 4096] [--backend xla]
+  python scripts/weak_scaling.py --ntt --per-device 256
+"""
+import argparse
+import json
+import os
+import random
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
+
+import jax
+
+if os.environ.get("WS_TPU") != "1":
+    jax.config.update("jax_platforms", "cpu")
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def _mesh(n, name):
+    return jax.sharding.Mesh(np.asarray(jax.devices()[:n]), (name,))
+
+
+def run_msm(per_device: int, backend: str):
+    from tpu_zkpool.curve.weierstrass import G1
+    from tpu_zkpool.fields.bn254 import FR_MOD
+    from tpu_zkpool.fields.limbs import ints_to_limbs
+    from tpu_zkpool import native_bridge
+    from tpu_zkpool.parallel import msm_grid_sharded
+
+    rng = random.Random(17)
+    rows_cache = {}
+    out = {}
+    base_rate = None
+    for D in (1, 2, 4, 8):
+        if D > len(jax.devices()):
+            break
+        n = per_device * D
+        base = [rng.randrange(1, 1 << 62) for _ in range(n)]
+        aff = native_bridge.g1_gen_mul_batch(base)
+        ks = [rng.randrange(0, FR_MOD) for _ in range(n)]
+        X, Y, Z = G1.from_affine_ints([p[0] for p in aff],
+                                      [p[1] for p in aff])
+        rows = jnp.stack([X, Y, Z], axis=1)[:, :, None, :]
+        limbs = jnp.asarray(ints_to_limbs(ks))
+        mesh = _mesh(D, "dp")
+        r = msm_grid_sharded(rows, limbs, mesh, "dp", 13, backend)
+        jax.block_until_ready(r)          # compile + correctness-run
+        t0 = time.time()
+        r = msm_grid_sharded(rows, limbs, mesh, "dp", 13, backend)
+        jax.block_until_ready(r)
+        dt = time.time() - t0
+        rate = n / dt
+        if base_rate is None:
+            base_rate = rate
+        out[D] = {"n": n, "s": round(dt, 3), "pts_per_s": round(rate, 1),
+                  "weak_scaling_eff": round(rate / (base_rate * D), 3)}
+        print(f"D={D}: {out[D]}", flush=True)
+    return out
+
+
+def run_ntt(per_device: int):
+    from tpu_zkpool.parallel import negacyclic_mul_sharded
+    from tpu_zkpool.fields.rlweq import Q
+
+    rng = np.random.RandomState(3)
+    out = {}
+    base_rate = None
+    B = 64
+    for D in (1, 2, 4, 8):
+        if D > len(jax.devices()):
+            break
+        n = per_device * D
+        a = jnp.asarray(rng.randint(0, Q, size=(B, n)).astype(np.uint32))
+        b = jnp.asarray(rng.randint(0, Q, size=(B, n)).astype(np.uint32))
+        mesh = _mesh(D, "sp")
+        r = negacyclic_mul_sharded(a, b, mesh)
+        jax.block_until_ready(r)
+        t0 = time.time()
+        for _ in range(3):
+            r = negacyclic_mul_sharded(a, b, mesh)
+        jax.block_until_ready(r)
+        dt = (time.time() - t0) / 3
+        rate = B / dt
+        if base_rate is None:
+            base_rate = rate
+        out[D] = {"ring_n": n, "s": round(dt, 4),
+                  "polymuls_per_s": round(rate, 1),
+                  "weak_scaling_eff": round(rate / base_rate, 3)}
+        print(f"D={D}: {out[D]}", flush=True)
+    return out
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--per-device", type=int, default=4096)
+    ap.add_argument("--backend", default="xla")
+    ap.add_argument("--ntt", action="store_true")
+    ap.add_argument("--out", default=None)
+    args = ap.parse_args()
+    res = run_ntt(args.per_device) if args.ntt else run_msm(
+        args.per_device, args.backend)
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(res, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()

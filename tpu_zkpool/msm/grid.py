@@ -617,19 +617,21 @@ class XlaBackend:
         (acc, tot), _ = jax.lax.scan(step, (z, z), steps)
         return acc, tot
 
+    def _dbl_n(self, rows, n):
+        """2^n * rows via a scan (one doubling body in the graph)."""
+        def step(r, _):
+            return self._rows(_pdouble(self.F, self._pt(r))), None
+
+        out, _ = jax.lax.scan(step, rows, None, length=n)
+        return out
+
     def scale_add(self, a, b, log2s):
-        P = self._pt(a)
-        for _ in range(log2s):
-            P = _pdouble(self.F, P)
-        return self._rows(_padd(self.F, P, self._pt(b)))
+        return self.addn(self._dbl_n(a, log2s), b)
 
     def horner(self, S, c):
         def step(acc, s):
-            P = self._pt(acc[None])
-            for _ in range(c):
-                P = _pdouble(self.F, P)
-            out = self._rows(_padd(self.F, P, self._pt(s[None])))
-            return out[0], None
+            acc = self._dbl_n(acc[None], c)[0]
+            return self.addn(acc[None], s[None])[0], None
 
         acc, _ = jax.lax.scan(step, jnp.zeros_like(S[0]), S[::-1])
         return acc
@@ -681,18 +683,23 @@ def _reduction_shape(half: int):
     return C, L
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3, 4))
-def _msm_rows(rows, scalar_limbs, c, backend, interpret):
-    """rows: uint32[N, 3, ncomp, 16] Jacobian Montgomery points with Z in
-    {R, 0}; scalar_limbs: uint32[N, 16] plain. N must be a multiple of 1024.
-    Returns the MSM as one point row (3, ncomp, 16)."""
+def make_backend(backend: str, ncomp: int, interpret: bool = False):
+    return PallasBackend(interpret) if backend == "pallas" \
+        else XlaBackend(ncomp)
+
+
+def window_sums(rows, scalar_limbs, c, be):
+    """Per-window Pippenger sums S_w (W, 3, ncomp, 16) of the local point
+    set — everything except the final Horner combine. This is the sharding
+    seam: point-axis-sharded MSM computes local window sums per device,
+    folds them with one collective, and Horner runs once
+    (tpu_zkpool/parallel/msm_sharded.py)."""
     N, _, ncomp, _ = rows.shape
     assert N % TILE_N == 0
     k = N // TILE_N
     W = n_windows(c)
     half = 1 << (c - 1)
     C, L = _reduction_shape(half)
-    be = PallasBackend(interpret) if backend == "pallas" else XlaBackend(ncomp)
 
     bucket, neg = signed_digits(scalar_limbs, c)
     orders = jnp.argsort(bucket, axis=0)          # (N, W)
@@ -776,8 +783,16 @@ def _msm_rows(rows, scalar_limbs, c, backend, interpret):
         sU = U[:, 0]
 
     # window sums S_w = L * (sum_m m*T_m) + sum_m U_m
-    S = be.scale_add(mT, sU, L.bit_length() - 1)   # (W, 3, ncomp, L)
+    return be.scale_add(mT, sU, L.bit_length() - 1)   # (W, 3, ncomp, L)
 
+
+@functools.partial(jax.jit, static_argnums=(2, 3, 4))
+def _msm_rows(rows, scalar_limbs, c, backend, interpret):
+    """rows: uint32[N, 3, ncomp, 16] Jacobian Montgomery points with Z in
+    {R, 0}; scalar_limbs: uint32[N, 16] plain. N must be a multiple of 1024.
+    Returns the MSM as one point row (3, ncomp, 16)."""
+    be = make_backend(backend, rows.shape[2], interpret)
+    S = window_sums(rows, scalar_limbs, c, be)
     return be.horner(S, c)                         # (3, ncomp, L)
 
 

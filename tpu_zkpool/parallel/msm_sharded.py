@@ -1,0 +1,55 @@
+"""Point-axis-sharded grid MSM over the device mesh.
+
+The TP/EP analogue (SURVEY.md §2.4): each device runs the full grid
+Pippenger pipeline (sort, chunked prefix, bucket reduction) on its local
+point shard down to per-window sums, the W window sums are folded across
+devices with one ``all_gather`` (W points per device cross ICI — the only
+communication), and the Horner combine runs once on the replicated sums.
+This is the weak-scaling path for the 2^22 MSM target: local work is
+O(N/D), communication is O(W * D) points.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from jax.sharding import PartitionSpec as P
+
+from tpu_zkpool.msm.grid import (
+    TILE_N, make_backend, window_sums,
+)
+
+
+def msm_grid_sharded(rows, scalar_limbs, mesh, axis: str = "dp",
+                     c: int = 13, backend: str = "xla",
+                     interpret: bool = False):
+    """MSM with the point axis sharded over ``mesh[axis]``.
+
+    rows: uint32[N, 3, ncomp, 16] Jacobian Montgomery (Z in {R, 0});
+    scalar_limbs: uint32[N, 16] plain. N must be a multiple of
+    1024 * mesh.shape[axis]. Returns one point row (3, ncomp, 16).
+    """
+    D = mesh.shape[axis]
+    N = rows.shape[0]
+    ncomp = rows.shape[2]
+    assert N % (TILE_N * D) == 0, "need 1024 points per device"
+
+    def local(rows_l, limbs_l):
+        be = make_backend(backend, ncomp, interpret)
+        S = window_sums(rows_l, limbs_l, c, be)       # (W, 3, ncomp, 16)
+        allS = jax.lax.all_gather(S, axis)            # (D, W, 3, ncomp, 16)
+
+        def fold(acc, s):
+            return be.addn(acc, s), None
+
+        S_tot, _ = jax.lax.scan(fold, jnp.zeros_like(S), allS)
+        return S_tot
+
+    S = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(axis), P(axis)), out_specs=P(),
+        check_vma=False,
+    )(rows, scalar_limbs)
+    be = make_backend(backend, ncomp, interpret)
+    return be.horner(S, c)
