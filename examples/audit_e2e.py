@@ -49,7 +49,8 @@ def main():
     print(f"wa={hex(wa)[:18]} ct={hex(ct)[:18]}; witness satisfied")
 
     print("=== 3. Groth16 ===")
-    t0 = time.time(); pkg, vkg = g16.setup(r1cs); print(f"setup: {time.time()-t0:.0f}s")
+    from tpu_zkpool.groth16.cache import cached_setup
+    t0 = time.time(); pkg, vkg = cached_setup(r1cs, verbose=True); print(f"setup: {time.time()-t0:.0f}s")
     t0 = time.time(); proof = g16.prove(pkg, r1cs, w); print(f"prove: {time.time()-t0:.0f}s")
     assert g16.verify(vkg, proof, [wa, ct])
     assert not g16.verify(vkg, proof, [wa, ct + 1])

@@ -23,7 +23,14 @@ sys.path.insert(0, os.path.join(
 
 import jax
 
-jax.config.update("jax_platforms", "cpu")
+DEVICE = "--device" in sys.argv
+if not DEVICE:
+    # host/CPU development run; --device proves on the real TPU through
+    # the grid-MSM prover (prove_tpu), matching prove_linux.sh:80-84.
+    jax.config.update("jax_platforms", "cpu")
+else:
+    from tpu_zkpool.utils import enable_compile_cache
+    enable_compile_cache()
 
 from tpu_zkpool.groth16.acir import load_artifact
 from tpu_zkpool.groth16 import solver, r1cs as r1cs_mod
@@ -45,13 +52,27 @@ def main():
     print(f"{len(ar.r1cs.a_rows)} constraints satisfied")
 
     print("=== 2. Groth16 setup / prove / verify ===")
-    t0 = time.time(); pk, vk = g16.setup(ar.r1cs)
+    from tpu_zkpool.groth16.cache import cached_setup
+    t0 = time.time(); pk, vk = cached_setup(ar.r1cs, verbose=True)
     print(f"setup: {time.time()-t0:.0f}s")
-    t0 = time.time(); proof = g16.prove(pk, ar.r1cs, w)
-    print(f"prove: {time.time()-t0:.0f}s")
+    if DEVICE:
+        from tpu_zkpool.groth16 import prove_tpu
+        print(f"devices: {jax.devices()}")
+        t0 = time.time()
+        dpk = prove_tpu.DeviceProvingKey(pk, backend="pallas")
+        print(f"device pk upload: {time.time()-t0:.0f}s")
+        t0 = time.time(); proof = prove_tpu.prove(dpk, ar.r1cs, w)
+        print(f"prove (TPU grid MSMs + NTT): {time.time()-t0:.1f}s")
+        t0 = time.time(); proof2 = prove_tpu.prove(dpk, ar.r1cs, w, seed=11)
+        print(f"prove warm: {time.time()-t0:.1f}s")
+    else:
+        t0 = time.time(); proof = g16.prove(pk, ar.r1cs, w)
+        print(f"prove: {time.time()-t0:.0f}s")
     pub = w[1:ar.r1cs.num_public]
     assert g16.verify(vk, proof, pub)
     assert not g16.verify(vk, proof, [pub[0] + 1] + pub[1:])
+    if DEVICE:
+        assert g16.verify(vk, proof2, pub), "warm device proof invalid"
     print("verify ok (+ negative)")
 
     print("=== 3. wire format + pool flow ===")

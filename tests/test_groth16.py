@@ -131,3 +131,21 @@ def test_groth16_commitment_roundtrip():
     assert not verify(vk, (A, B2, C, cm2, pr.g1_add(pok2, G1_GEN)), [w[1]])
     assert not verify(vk, (A, B2, C, pr.g1_add(cm2, G1_GEN), pok2), [w[1]])
     assert not verify(vk, (A, B2, C), [w[1]])  # commitment required
+
+
+def test_cached_setup_roundtrip(tmp_path, tiny):
+    """pk/vk cache keyed by circuit hash (reference prove_linux.sh:66-79
+    skip-if-exists semantics): second call loads identical keys; a changed
+    circuit gets a different key."""
+    from tpu_zkpool.groth16.cache import cached_setup, circuit_hash
+    r1cs, w = tiny
+    pk1, vk1 = cached_setup(r1cs, cache_dir=str(tmp_path))
+    pk2, vk2 = cached_setup(r1cs, cache_dir=str(tmp_path))
+    assert vk1.gamma_abc == vk2.gamma_abc and pk1.h_query == pk2.h_query
+    proof = prove(pk2, r1cs, w)
+    assert verify(vk2, proof, [w[1]])
+    import dataclasses
+    r2 = dataclasses.replace(r1cs, a_rows=[dict(r1cs.a_rows[0])]
+                             + r1cs.a_rows[1:])
+    r2.a_rows[0][2] = 2
+    assert circuit_hash(r2) != circuit_hash(r1cs)
