@@ -38,6 +38,8 @@ def test_compute_h_device_matches_oracle():
 @pytest.mark.skipif(os.environ.get("RUN_SLOW") != "1",
                     reason="MSM graph compile is minutes on CPU (RUN_SLOW=1)")
 def test_prove_tpu_tiny_end_to_end():
+    """Device prover (grid MSMs incl. the Fp2 G2 leg) on the tiny circuit,
+    via the portable XLA backend."""
     from tpu_zkpool.refimpl.groth16_ref import setup, verify
     from tpu_zkpool.groth16 import prove_tpu
     r1cs = R1CS(num_vars=5, num_public=2,
@@ -48,7 +50,7 @@ def test_prove_tpu_tiny_end_to_end():
     x = 3
     w = [1, x**3 + x + 5, x, x * x, x**3]
     pk, vk = setup(r1cs)
-    dpk = prove_tpu.DeviceProvingKey(pk)
+    dpk = prove_tpu.DeviceProvingKey(pk, backend="xla")
     proof = prove_tpu.prove(dpk, r1cs, w)
     assert verify(vk, proof, [w[1]])
     assert not verify(vk, proof, [w[1] + 1])

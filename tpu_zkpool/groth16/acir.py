@@ -140,22 +140,6 @@ _BLACKBOX = {
 }
 
 
-def _parse_blackbox(c: Cursor) -> Opcode:
-    tag = c.u32()
-    name = _BLACKBOX.get(tag)
-    if name == "range":
-        inp = _parse_function_input(c)
-        nbits = c.u32()
-        return Opcode("range", {"input": inp, "bits": nbits})
-    if name == "multi_scalar_mul":
-        npts = c.u64()
-        points = [_parse_function_input(c) for _ in range(npts)]
-        # each FunctionInput carries num_bits
-        # NOTE: FunctionInput = {input, num_bits}; handled by caller variant
-        raise NotImplementedError("multi_scalar_mul parse — see _parse_blackbox2")
-    raise NotImplementedError(f"blackbox tag {tag} ({name}) at {c.off}")
-
-
 def parse_program(raw: bytes, debug: bool = False) -> Program:
     c = Cursor(raw)
     n_funcs = c.u64()

@@ -1,10 +1,11 @@
 """Groth16 proving with the MSMs and H(X) on TPU.
 
 The device-side counterpart of ``refimpl.groth16_ref.prove``: witness-scalar
-MSMs over the proving-key G1 queries run through the Pippenger kernels
-(``msm.pippenger``), and H(X) = (UV - W)/t runs through the Fr-domain NTT
-(``groth16.domain``). The G2 leg (B) stays on the native C++ path — the
-per-proof G2 work is small and host-cheap.
+MSMs over the proving-key queries run through the grid-accumulator
+Pippenger pipeline (``msm.grid``) — G1 legs (A, B1, K, H) AND the G2 leg
+(B2, Fp2 coordinates) — and H(X) = (UV - W)/t runs through the Fr-domain
+NTT (``groth16.domain``). This replaces the gnark prover behind
+``sunspot prove`` (``noir_circuit/prove_linux.sh:80-84``).
 
 The constraint matvecs (U/V/W evaluations) are sparse host work for now;
 they become device CSR matmuls when proving throughput moves beyond
@@ -21,51 +22,114 @@ import numpy as np
 
 from tpu_zkpool.fields.bn254 import FR_MOD as R
 from tpu_zkpool.fields.fctx import FR, FP
-from tpu_zkpool.curve.weierstrass import G1 as G1C
-from tpu_zkpool.msm.pippenger import msm, window_digits
+from tpu_zkpool.fields.limbs import ints_to_limbs, NLIMB
+from tpu_zkpool.msm.grid import TILE_N, msm_grid_g1, msm_grid_g2
 from tpu_zkpool.groth16 import domain
 from tpu_zkpool.refimpl import groth16_ref as g16
 from tpu_zkpool.refimpl import pairing_ref as pr
 
 
+def _pad_up(n: int) -> int:
+    return max(TILE_N, -(-n // TILE_N) * TILE_N)
+
+
 def _points_device(pts: list):
-    """Affine int points (None allowed) -> Jacobian limb arrays, padded to a
-    power of two with identities."""
+    """Affine G1 int points (None allowed) -> Jacobian limb arrays padded
+    to a multiple of 1024 with identities (Z = 0)."""
     n = len(pts)
-    npad = 1
-    while npad < n:
-        npad <<= 1
+    npad = _pad_up(n)
     xs = [p[0] if p else 0 for p in pts] + [0] * (npad - n)
     ys = [p[1] if p else 0 for p in pts] + [0] * (npad - n)
     X = jnp.asarray(FP.to_mont(np.asarray(xs, dtype=object)))
     Y = jnp.asarray(FP.to_mont(np.asarray(ys, dtype=object)))
-    # identity encoded as Z = 0 (for padding and None points)
     zmask = np.asarray([1 if p else 0 for p in pts] + [0] * (npad - n),
                        dtype=np.uint32)
     Z = FP.ones_mont((npad,)) * jnp.asarray(zmask)[:, None]
     return (X, Y, Z), npad
 
 
-class DeviceProvingKey:
-    """Device-resident G1 query points + host pk for the G2/native legs."""
+def _points_device_g2(pts: list):
+    """Affine G2 points ((x0,x1),(y0,y1)) -> (N, 2, 16) coordinate limbs."""
+    n = len(pts)
+    npad = _pad_up(n)
+    def comp(sel):
+        vals = [sel(p) if p else (0, 0) for p in pts] + [(0, 0)] * (npad - n)
+        return jnp.asarray(FP.to_mont(np.asarray(vals, dtype=object)))
+    X = comp(lambda p: p[0])
+    Y = comp(lambda p: p[1])
+    zmask = np.asarray([1 if p else 0 for p in pts] + [0] * (npad - n),
+                       dtype=np.uint32)
+    one = FP.ones_mont((npad,)) * jnp.asarray(zmask)[:, None]
+    Z = jnp.stack([one, jnp.zeros_like(one)], axis=1)   # Z = 1 + 0u (or 0)
+    return (X, Y, Z), npad
 
-    def __init__(self, pk: g16.ProvingKey):
+
+def _scalar_limbs(scalars: list, npad: int) -> jnp.ndarray:
+    arr = np.zeros((npad, NLIMB), dtype=np.uint32)
+    if scalars:
+        arr[: len(scalars)] = ints_to_limbs([s % R for s in scalars])
+    return jnp.asarray(arr)
+
+
+class DeviceProvingKey:
+    """Device-resident query points (G1 and G2) + the host pk."""
+
+    def __init__(self, pk: g16.ProvingKey, c: int = 13,
+                 backend: str = "pallas"):
         self.pk = pk
+        self.c = c
+        self.backend = backend
         self.a_query, self._na = _points_device(pk.a_query)
         self.b1_query, _ = _points_device(pk.b1_query)
         self.k_query, self._nk = _points_device(pk.k_query)
         self.h_query, self._nh = _points_device(pk.h_query)
+        self.b2_query, self._nb2 = _points_device_g2(pk.b2_query)
 
     # ---------------------------------------------------------------- MSMs
 
-    def _msm_device(self, points_dev, npad, scalars: list):
-        digs = np.zeros((npad, 32), dtype=np.uint32)
-        digs[: len(scalars)] = window_digits([s % R for s in scalars])
-        res = msm(G1C, points_dev, jnp.asarray(digs), 8)
-        xs, ys = G1C.to_affine_ints(tuple(np.asarray(r)[None] for r in res))
-        x = int(np.asarray(xs).reshape(-1)[0])
-        y = int(np.asarray(ys).reshape(-1)[0])
-        return None if x == 0 and y == 0 else (x, y)
+    def _msm_g1(self, points_dev, npad, scalars: list):
+        out = msm_grid_g1(points_dev, _scalar_limbs(scalars, npad),
+                          c=self.c, backend=self.backend)
+        xs, ys = _g1_affine(out)
+        return None if xs == 0 and ys == 0 else (xs, ys)
+
+    def _msm_g2(self, scalars: list):
+        X, Y, Z = msm_grid_g2(self.b2_query,
+                              _scalar_limbs(scalars, self._nb2),
+                              c=self.c, backend=self.backend)
+        return _g2_affine((X, Y, Z))
+
+
+def _g1_affine(out):
+    from tpu_zkpool.curve.weierstrass import G1 as G1C
+    xs, ys = G1C.to_affine_ints(tuple(np.asarray(r)[None] for r in out))
+    return (int(np.asarray(xs).reshape(-1)[0]),
+            int(np.asarray(ys).reshape(-1)[0]))
+
+
+def _g2_affine(out):
+    """(X, Y, Z) Fp2 Jacobian limb rows (2, 16) each -> affine int pairs
+    (host inversion in Fp2)."""
+    X = [int(v) for v in FP.from_mont(np.asarray(out[0]))]
+    Y = [int(v) for v in FP.from_mont(np.asarray(out[1]))]
+    Z = [int(v) for v in FP.from_mont(np.asarray(out[2]))]
+    if Z == [0, 0]:
+        return None
+    P = pr.P
+
+    def f2_mul(a, b):
+        return ((a[0] * b[0] - a[1] * b[1]) % P,
+                (a[0] * b[1] + a[1] * b[0]) % P)
+
+    def f2_inv(a):
+        d = pow((a[0] * a[0] + a[1] * a[1]) % P, -1, P)
+        return (a[0] * d % P, (-a[1]) * d % P)
+
+    zi = f2_inv(tuple(Z))
+    zi2 = f2_mul(zi, zi)
+    x = f2_mul(tuple(X), zi2)
+    y = f2_mul(tuple(Y), f2_mul(zi2, zi))
+    return (x, y)
 
 
 def compute_h_device(r1cs, w_full: list, n: int) -> list:
@@ -98,30 +162,44 @@ def compute_h_device(r1cs, w_full: list, n: int) -> list:
 
 
 def prove(dpk: DeviceProvingKey, r1cs, w_full: list, seed: int = 7):
-    """Groth16 proof with G1 MSMs + H(X) on device."""
+    """Groth16 proof with all four G1 MSMs, the G2 MSM, and H(X) on device.
+    Emits (A, B2, C) or (A, B2, C, Commitment, Pok) matching
+    refimpl.groth16_ref.prove exactly."""
     pk = dpk.pk
     rng = random.Random(seed)
     r_rand, s_rand = rng.randrange(R), rng.randrange(R)
     n = pk.n_domain
 
-    A = dpk._msm_device(dpk.a_query, dpk._na, w_full)
+    A = dpk._msm_g1(dpk.a_query, dpk._na, w_full)
     A = pr.g1_add(pk.alpha1, A)
     A = pr.g1_add(A, pr.g1_mul(r_rand, pk.delta1) if r_rand else None)
 
-    B1 = dpk._msm_device(dpk.b1_query, dpk._na, w_full)
+    B1 = dpk._msm_g1(dpk.b1_query, dpk._na, w_full)
     B1 = pr.g1_add(pk.beta1, B1)
     B1 = pr.g1_add(B1, pr.g1_mul(s_rand, pk.delta1) if s_rand else None)
 
-    B2 = g16._msm2(pk.b2_query, w_full)
+    B2 = dpk._msm_g2(w_full)
     B2 = pr.g2_add(pk.beta2, B2)
     B2 = pr.g2_add(B2, pr.g2_mul(s_rand, pk.delta2) if s_rand else None)
 
     h = compute_h_device(r1cs, w_full, n)
-    HT = dpk._msm_device(dpk.h_query, dpk._nh, h[: n - 1])
-    Kpriv = dpk._msm_device(dpk.k_query, dpk._nk, w_full[r1cs.num_public:])
+    HT = dpk._msm_g1(dpk.h_query, dpk._nh, h[: n - 1])
+    if pk.committed:
+        cset = set(pk.committed)
+        priv = [w_full[i] for i in range(r1cs.num_public, len(w_full))
+                if i not in cset]
+    else:
+        priv = w_full[r1cs.num_public:]
+    Kpriv = dpk._msm_g1(dpk.k_query, dpk._nk, priv)
     C = pr.g1_add(Kpriv, HT)
     C = pr.g1_add(C, pr.g1_mul(s_rand, A) if s_rand else None)
     C = pr.g1_add(C, pr.g1_mul(r_rand, B1) if r_rand else None)
     rs = r_rand * s_rand % R
     C = pr.g1_add(C, pr.g1_mul((R - rs) % R, pk.delta1) if rs else None)
+    if pk.committed:
+        from tpu_zkpool.refimpl import pedersen
+        cm, pok = pedersen.commit(
+            list(pk.basis), list(pk.basis_exp_sigma),
+            [w_full[i] for i in pk.committed])
+        return (A, B2, C, cm, pok)
     return (A, B2, C)

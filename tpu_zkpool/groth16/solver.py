@@ -121,6 +121,7 @@ def solve(program: Program, inputs: dict[int, int], brillig_names=None,
         brillig_names = brillig_function_names(program)
     w = {k: v % P for k, v in inputs.items()}
     pending: list[Expression] = []
+    memory: dict[int, list] = {}
 
     def drain_pending():
         progress = True
@@ -180,6 +181,70 @@ def solve(program: Program, inputs: dict[int, int], brillig_names=None,
                 w[ox], w[oy], w[oinf] = 0, 0, 1
             else:
                 w[ox], w[oy], w[oinf] = acc[0], acc[1], 0
+            drain_pending()
+        elif op.kind in ("and", "xor"):
+            d = op.data
+            a = _fi_value(d["lhs"], w)
+            bvv = _fi_value(d["rhs"], w)
+            w[d["out"]] = (a & bvv) if op.kind == "and" else (a ^ bvv)
+            drain_pending()
+        elif op.kind == "embedded_curve_add":
+            d = op.data
+            vals = [_fi_value(fi, w) for fi in d["in"]]
+            x1, y1, i1, x2, y2, i2 = vals
+            p1 = None if i1 else (x1, y1)
+            p2 = None if i2 else (x2, y2)
+            acc = curve_ref.add(p1, p2)
+            ox, oy, oinf = d["out"]
+            if acc is None:
+                w[ox], w[oy], w[oinf] = 0, 0, 1
+            else:
+                w[ox], w[oy], w[oinf] = acc[0], acc[1], 0
+            drain_pending()
+        elif op.kind == "poseidon2_permutation":
+            from tpu_zkpool.hash.poseidon2 import permutation_ref
+            d = op.data
+            state = [_fi_value(fi, w) for fi in d["inputs"]]
+            out = permutation_ref(state)
+            for ov, val in zip(d["outputs"], out):
+                w[ov] = val
+            drain_pending()
+        elif op.kind == "memory_init":
+            d = op.data
+            vals = []
+            for wit in d["init"]:
+                if wit not in w:
+                    raise SolveError(f"memory_init witness w{wit} unknown at {k}")
+                vals.append(w[wit])
+            memory[d["block"]] = vals
+        elif op.kind == "memory_op":
+            d = op.data
+            opv = _eval_known(d["op"], w)
+            idx = _eval_known(d["index"], w)
+            if opv is None or idx is None:
+                raise SolveError(f"memory_op selector/index unknown at {k}")
+            block = memory.get(d["block"])
+            if block is None:
+                raise SolveError(f"memory block {d['block']} uninitialized at {k}")
+            if opv == 1:  # write
+                val = _eval_known(d["value"], w)
+                if val is None:
+                    raise SolveError(f"memory write value unknown at {k}")
+                block[idx] = val
+            else:         # read: assign the single unknown in the value expr
+                res = block[idx]
+                expr = d["value"]
+                unknown = [(c0, v) for c0, v in expr.linear if v not in w]
+                if not unknown:
+                    if _eval_known(expr, w) != res:
+                        raise SolveError(f"memory read mismatch at {k}")
+                elif len(unknown) == 1 and not expr.mul_terms:
+                    c0, v = unknown[0]
+                    known = sum(c * w[vv] for c, vv in expr.linear
+                                if vv in w) + expr.q_c
+                    w[v] = (res - known) * pow(c0 % P, -1, P) % P
+                else:
+                    raise SolveError(f"memory read expr too complex at {k}")
             drain_pending()
         else:
             raise SolveError(f"unhandled opcode {op.kind} at {k}")

@@ -6,8 +6,9 @@ d0 = 0, d_{k+1} = poseidon2(d_k, d_k); proofs are sibling lists leaf->root.
 
 TPU-first: instead of the reference's O(2^depth) per-call JS recomputation,
 a whole level is hashed in ONE batched Poseidon call (pairs laid out on the
-batch axis), so a full build is `depth` kernel launches and an incremental
-update amortizes to O(log N) batched hashes.
+batch axis), so a full build is `depth` kernel launches. Additionally a
+classic frontier (filled-subtree) accumulator gives true O(log N) work per
+``insert``/``get_root`` — proofs use the batched rebuild, roots never do.
 """
 
 from __future__ import annotations
@@ -69,19 +70,36 @@ class MerkleTree:
     """Incremental append-only tree mirroring ``ShieldedPoolMerkleTree``.
 
     Host object holding canonical-int leaves; hashing runs in batched JAX
-    calls. ``insert`` is O(1); ``get_root``/``get_proof`` rebuild lazily with
-    one batched hash call per level.
+    calls. ``insert`` updates a frontier of filled subtrees (depth host
+    hashes, O(log N)); ``get_root`` reads the frontier root in O(1);
+    ``get_proof`` rebuilds levels lazily with one batched hash call per
+    level.
     """
 
     def __init__(self, depth: int = TREE_DEPTH):
         self.depth = depth
         self.leaves: list[int] = []
         self._levels_cache = None
+        self._filled: list[int] = [0] * depth   # left-sibling per level
+        self._root: int = default_hashes(depth)[depth]
 
     def insert(self, commitment: int) -> int:
-        self.leaves.append(commitment % FR.modulus)
+        """Append a leaf; O(log N): one frontier pass of `depth` hashes."""
+        index = len(self.leaves)
+        leaf = commitment % FR.modulus
+        self.leaves.append(leaf)
         self._levels_cache = None
-        return len(self.leaves) - 1
+        dh = default_hashes(self.depth)
+        cur, i = leaf, index
+        for k in range(self.depth):
+            if i % 2 == 0:
+                self._filled[k] = cur
+                cur = poseidon_hash_ref([cur, dh[k]])
+            else:
+                cur = poseidon_hash_ref([self._filled[k], cur])
+            i //= 2
+        self._root = cur
+        return index
 
     # ------------------------------------------------------------------
 
@@ -114,7 +132,7 @@ class MerkleTree:
         return levels
 
     def get_root(self) -> int:
-        return self._levels()[self.depth][0]
+        return self._root
 
     def get_proof(self, index: int) -> list[int]:
         """Sibling list from leaf level to depth-1, default-padded."""
