@@ -1,0 +1,110 @@
+"""Audit-circuit benchmark harness — C9 parity.
+
+Generates and times the reference's 4 audit-circuit variants
+({const PK, var PK} x {e as witness, e computed in-circuit};
+``/root/reference/scripts/benchmark_all.py:331-572,601-702``) through OUR
+pipeline: CircuitBuilder -> R1CS -> Groth16 setup/prove/verify, recording
+constraint counts and per-stage timings to ``benchmark_variants.json``.
+The reference never committed its results file; we commit ours.
+
+Usage: python scripts/benchmark_variants.py [--full] [--variants a,b,...]
+  --full  also run setup/prove/verify for the ~1M-constraint var_pk
+          variants (tens of minutes); otherwise they record build/witness
+          times and counts only.
+"""
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+VARIANTS = ["const_pk_e_witness", "const_pk_e_computed",
+            "var_pk_e_witness", "var_pk_e_computed"]
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--full", action="store_true")
+    ap.add_argument("--variants", default=",".join(VARIANTS))
+    ap.add_argument("--out", default=os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "benchmark_variants.json"))
+    args = ap.parse_args()
+
+    from tpu_zkpool.protocol.audit_circuit import (
+        build_audit_circuit, ct_commitment_of)
+    from tpu_zkpool.refimpl import rlwe_ref, groth16_ref as g16
+    from tpu_zkpool.groth16.cache import cached_setup
+    from tpu_zkpool.hash.poseidon_params import poseidon_hash_ref
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, os.path.join(repo, "tests"))
+    import vectors
+
+    pk = json.load(open(f"{vectors.RLWE_DIR}/rlwe_pk.json"))
+    a_pk = [int(v, 16) for v in pk["a"]]
+    b_pk = [int(v, 16) for v in pk["b"]]
+    enc = rlwe_ref.encrypt(a_pk, b_pk, vectors.OWNER_X, vectors.OWNER_Y,
+                           seed=999)
+    wa = poseidon_hash_ref([vectors.OWNER_X, vectors.OWNER_Y])
+    ct = ct_commitment_of(enc)
+
+    results = {}
+    for variant in args.variants.split(","):
+        print(f"=== {variant} ===", flush=True)
+        rec = {}
+        t0 = time.time()
+        circ = build_audit_circuit(a_pk, b_pk, variant=variant)
+        r1cs = circ.builder.r1cs()
+        rec["build_s"] = round(time.time() - t0, 2)
+        rec["constraints"] = len(r1cs.a_rows)
+        rec["wires"] = r1cs.num_vars
+        print(f"  {rec['constraints']} constraints, {rec['wires']} wires "
+              f"({rec['build_s']}s)", flush=True)
+
+        t0 = time.time()
+        w = circ.builder.witness(circ.assignment(
+            vectors.OWNER_X, vectors.OWNER_Y, enc, wa, ct,
+            vectors.SECRET_KEY))
+        rec["witness_s"] = round(time.time() - t0, 2)
+        t0 = time.time()
+        sat = r1cs.is_satisfied(w)
+        rec["satisfied"] = bool(sat)
+        rec["check_s"] = round(time.time() - t0, 2)
+        assert sat, f"{variant}: witness does not satisfy"
+        print(f"  witness {rec['witness_s']}s, satisfied ({rec['check_s']}s)",
+              flush=True)
+
+        heavy = variant.startswith("var_pk")
+        if args.full or not heavy:
+            t0 = time.time()
+            pkg, vkg = cached_setup(r1cs, verbose=True)
+            rec["setup_s"] = round(time.time() - t0, 1)
+            t0 = time.time()
+            proof = g16.prove(pkg, r1cs, w)
+            rec["prove_s"] = round(time.time() - t0, 1)
+            t0 = time.time()
+            ok = g16.verify(vkg, proof, [wa, ct])
+            rec["verify_s"] = round(time.time() - t0, 1)
+            assert ok
+            print(f"  setup {rec['setup_s']}s prove {rec['prove_s']}s "
+                  f"verify {rec['verify_s']}s", flush=True)
+        else:
+            rec["pipeline"] = "skipped (use --full)"
+        results[variant] = rec
+
+    payload = {"harness": "scripts/benchmark_variants.py",
+               "reference": "scripts/benchmark_all.py:331-572",
+               "results": results}
+    with open(args.out, "w") as f:
+        json.dump(payload, f, indent=1)
+    print(json.dumps(results, indent=1))
+
+
+if __name__ == "__main__":
+    main()

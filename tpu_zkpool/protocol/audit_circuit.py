@@ -52,6 +52,9 @@ class AuditCircuit:
     v_e2: list
     v_k0: list
     v_k1: list
+    v_pka: list = ()
+    v_pkb: list = ()
+    pk_values: tuple = ()    # (pk_a, pk_b) ints for var_pk assignment
 
     def assignment(self, owner_x: int, owner_y: int, enc: dict,
                    wa: int, ct: int, sk: int) -> dict:
@@ -70,6 +73,12 @@ class AuditCircuit:
                          (self.v_e2, enc["e2_signed"]),
                          (self.v_k0, enc["k0"]), (self.v_k1, enc["k1"])):
             for v, val in zip(vs, vals):
+                a[v] = val % R
+        if self.v_pka:
+            pk_a, pk_b = self.pk_values
+            for v, val in zip(self.v_pka, pk_a):
+                a[v] = val % R
+            for v, val in zip(self.v_pkb, pk_b):
                 a[v] = val % R
         return a
 
@@ -109,7 +118,22 @@ def _range_signed(b: CircuitBuilder, v: int, bound: int = 128) -> None:
     b.bits(shifted, 8)
 
 
-def build_audit_circuit(pk_a: list, pk_b: list) -> AuditCircuit:
+def build_audit_circuit(pk_a: list, pk_b: list,
+                        variant: str = "const_pk_e_witness") -> AuditCircuit:
+    """``variant`` selects the benchmark-harness circuit shape
+    (reference ``scripts/benchmark_all.py:331-572``):
+
+    - const_pk / var_pk: PK rows embedded as constants vs the 2n PK
+      coefficients as private witnesses with in-circuit negacyclic row
+      indexing (every inner-product term becomes a mul constraint).
+    - e_witness / e_computed: noise terms as range-checked witnesses bound
+      by the encryption identity, vs computed in-circuit as
+      e = lhs - <row, r> (- Delta*msg) and then range-checked.
+    """
+    var_pk = variant.startswith("var_pk")
+    e_computed = variant.endswith("e_computed")
+    assert variant in ("const_pk_e_witness", "const_pk_e_computed",
+                       "var_pk_e_witness", "var_pk_e_computed")
     b = CircuitBuilder()
     v_wa = b.public_input()
     v_ct = b.public_input()
@@ -120,10 +144,16 @@ def build_audit_circuit(pk_a: list, pk_b: list) -> AuditCircuit:
     v_y = b.private_input()
     v_sk = b.private_input()
     v_r = [b.private_input() for _ in range(N)]
-    v_e1 = [b.private_input() for _ in range(MSG_SLOTS)]
-    v_e2 = [b.private_input() for _ in range(N)]
+    if e_computed:
+        v_e1, v_e2 = [], []
+    else:
+        v_e1 = [b.private_input() for _ in range(MSG_SLOTS)]
+        v_e2 = [b.private_input() for _ in range(N)]
     v_k0 = [b.private_input() for _ in range(MSG_SLOTS)]
     v_k1 = [b.private_input() for _ in range(N)]
+    if var_pk:
+        v_pka = [b.private_input() for _ in range(N)]
+        v_pkb = [b.private_input() for _ in range(N)]
 
     # 0. owner point derivation: sk * G == (x, y) in-circuit
     # (generate_audit.py:417-422 semantics: 128-bit lo/hi limb split)
@@ -144,26 +174,61 @@ def build_audit_circuit(pk_a: list, pk_b: list) -> AuditCircuit:
     # 3. message byte slots
     msg = _byte_slots(b, v_x) + _byte_slots(b, v_y)
 
-    # 4. range proofs
+    # 4. range proofs on inputs that are witnesses
     for v in v_r + v_e1 + v_e2:
         _range_signed(b, v)
 
-    # 5/6. encryption identities with constant negacyclic PK rows
+    def inner_product_lc(pk_consts, pk_vars, i):
+        """<negacyclic row i, r> as an lc. const_pk: linear with constant
+        coefficients; var_pk: one mul constraint per term (the reference's
+        42x constraint blowup, benchmark_all.py:398-451)."""
+        if not var_pk:
+            row = negacyclic_matrix_row(pk_consts, i)
+            return lc(*[(row[j], v_r[j]) for j in range(N)])
+        acc = {}
+        for j in range(N):
+            idx = i - j
+            if idx >= 0:
+                x = {pk_vars[idx]: 1}
+            else:
+                # negacyclic wrap stays mod q: entry = q - pk[idx + N]
+                x = {0: RLWE_Q, pk_vars[idx + N]: (-1) % R}
+            t = b.mul(x, {v_r[j]: 1})
+            acc[t] = (acc.get(t, 0) + 1) % R
+        return acc
+
+    def lc_sub(x, y):
+        out = dict(x)
+        for v, co in y.items():
+            out[v] = (out.get(v, 0) - co) % R
+        return out
+
+    # 5/6. encryption identities
+    # c0[i] + k0[i]*Q == <B_row_i, r> + e1[i] + Delta*msg[i]
     for i in range(MSG_SLOTS):
-        row = negacyclic_matrix_row(pk_b, i)
-        rhs = lc(*[(row[j], v_r[j]) for j in range(N)],
-                 (1, v_e1[i]))
+        rhs = inner_product_lc(pk_b, v_pkb if var_pk else None, i)
         for v, co in msg[i].items():
             rhs[v] = (rhs.get(v, 0) + DELTA * co) % R
         lhs = dict(c0[i])
         lhs[v_k0[i]] = (lhs.get(v_k0[i], 0) + RLWE_Q) % R
-        b.assert_eq(lhs, rhs)
+        if e_computed:
+            # e1 = lhs - rhs, range-checked in place of the witness
+            e_lc = lc_sub(lhs, rhs)
+            b.bits({**e_lc, 0: (e_lc.get(0, 0) + 128) % R}, 8)
+        else:
+            rhs[v_e1[i]] = (rhs.get(v_e1[i], 0) + 1) % R
+            b.assert_eq(lhs, rhs)
+    # c1[i] + k1[i]*Q == <A_row_i, r> + e2[i]
     for i in range(N):
-        row = negacyclic_matrix_row(pk_a, i)
-        rhs = lc(*[(row[j], v_r[j]) for j in range(N)], (1, v_e2[i]))
+        rhs = inner_product_lc(pk_a, v_pka if var_pk else None, i)
         lhs = dict(c1[i])
         lhs[v_k1[i]] = (lhs.get(v_k1[i], 0) + RLWE_Q) % R
-        b.assert_eq(lhs, rhs)
+        if e_computed:
+            e_lc = lc_sub(lhs, rhs)
+            b.bits({**e_lc, 0: (e_lc.get(0, 0) + 128) % R}, 8)
+        else:
+            rhs[v_e2[i]] = (rhs.get(v_e2[i], 0) + 1) % R
+            b.assert_eq(lhs, rhs)
 
     # 7. ct_commitment = Poseidon2 sponge over the 157 packed fields
     packed_lcs = [{v: 1} for v in v_c0p + v_c1p]
@@ -186,7 +251,9 @@ def build_audit_circuit(pk_a: list, pk_b: list) -> AuditCircuit:
     b.assert_eq(state[0], {v_ct: 1})
 
     return AuditCircuit(b, v_wa, v_ct, v_x, v_y, v_sk, v_c0p, v_c1p,
-                        v_r, v_e1, v_e2, v_k0, v_k1)
+                        v_r, v_e1, v_e2, v_k0, v_k1,
+                        v_pka if var_pk else (), v_pkb if var_pk else (),
+                        (tuple(pk_a), tuple(pk_b)) if var_pk else ())
 
 
 def ct_commitment_of(enc: dict) -> int:
