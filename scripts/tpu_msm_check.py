@@ -23,6 +23,9 @@ from tpu_zkpool.msm import grid as mg
 def main():
     log2n = int(sys.argv[1]) if len(sys.argv) > 1 else 13
     c = int(sys.argv[2]) if len(sys.argv) > 2 else 13
+    lanes = int(sys.argv[3]) if len(sys.argv) > 3 else 1024
+    complete = not (len(sys.argv) > 4 and sys.argv[4] == "incomplete")
+    print(f"lanes={lanes} complete={complete}", flush=True)
     n = 1 << log2n
     print(f"devices: {jax.devices()}", flush=True)
     rng = random.Random(7)
@@ -38,7 +41,8 @@ def main():
     print(f"to_mont: {time.time()-t0:.1f}s", flush=True)
 
     t0 = time.time()
-    out = mg.msm_grid_g1((X, Y, Z), limbs, c=c, backend="pallas")
+    out = mg.msm_grid_g1((X, Y, Z), limbs, c=c, backend="pallas",
+                         lanes=lanes, complete=complete)
     s = int(jax.device_get(jnp.sum(out[0])))  # force real execution
     print(f"first run (compile+exec): {time.time()-t0:.1f}s", flush=True)
 
@@ -59,7 +63,8 @@ def main():
     t0 = time.time()
     acc = 0
     for lm in limbs_list:
-        out = mg.msm_grid_g1((X, Y, Z), lm, c=c, backend="pallas")
+        out = mg.msm_grid_g1((X, Y, Z), lm, c=c, backend="pallas",
+                             lanes=lanes, complete=complete)
         acc ^= int(jax.device_get(jnp.sum(out[0])))
     dt = (time.time() - t0) / iters
     print(f"timed: {dt:.3f}s per MSM of 2^{log2n} -> {n/dt:,.0f} pts/s", flush=True)

@@ -88,3 +88,49 @@ def test_sharded_msm_vs_native():
     got = (int(np.asarray(xs).reshape(-1)[0]),
            int(np.asarray(ys).reshape(-1)[0]))
     assert got == native_bridge.g1_msm(ks, aff)
+
+
+def test_hierarchical_fold_virtual_pod():
+    """multihost.hierarchical_fold on a (2 hosts x 4 chips) virtual mesh:
+    ICI-axis fold then one partial per host over the DCN axis."""
+    from jax.sharding import PartitionSpec as P
+    from tpu_zkpool.parallel.multihost import hierarchical_fold
+
+    devs = np.asarray(jax.devices()[:8]).reshape(2, 4)
+    mesh = jax.sharding.Mesh(devs, ("host", "chip"))
+    x = jnp.arange(8., dtype=jnp.float32)
+
+    def local(xl):
+        return hierarchical_fold(lambda a, b: a + b, xl, mesh)
+
+    out = jax.shard_map(local, mesh=mesh,
+                        in_specs=P(("host", "chip")), out_specs=P(),
+                        check_vma=False)(x)
+    assert float(np.asarray(out)[0]) == float(x.sum())
+
+
+@pytest.mark.skipif(os.environ.get("RUN_SLOW") != "1",
+                    reason="several-minute XLA-CPU compile (RUN_SLOW=1)")
+def test_sharded_msm_2d_vs_native():
+    from tpu_zkpool.parallel.msm_sharded import msm_grid_sharded_2d
+    from tpu_zkpool.curve.weierstrass import G1
+    from tpu_zkpool import native_bridge
+    from tpu_zkpool.fields.bn254 import FR_MOD
+    from tpu_zkpool.fields.limbs import ints_to_limbs
+
+    rng = random.Random(19)
+    n = 8192
+    base = [rng.randrange(1, 1 << 62) for _ in range(n)]
+    aff = native_bridge.g1_gen_mul_batch(base)
+    ks = [rng.randrange(0, FR_MOD) for _ in range(n)]
+    X, Y, Z = G1.from_affine_ints([p[0] for p in aff], [p[1] for p in aff])
+    rows = jnp.stack([X, Y, Z], axis=1)[:, :, None, :]
+    limbs = jnp.asarray(ints_to_limbs(ks))
+    devs = np.asarray(jax.devices()[:8]).reshape(2, 4)
+    mesh = jax.sharding.Mesh(devs, ("host", "chip"))
+    out = msm_grid_sharded_2d(rows, limbs, mesh, backend="xla")
+    xs, ys = G1.to_affine_ints(tuple(np.asarray(out[i, 0])[None][None]
+                                     for i in range(3)))
+    got = (int(np.asarray(xs).reshape(-1)[0]),
+           int(np.asarray(ys).reshape(-1)[0]))
+    assert got == native_bridge.g1_msm(ks, aff)

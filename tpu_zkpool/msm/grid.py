@@ -215,29 +215,36 @@ def _pdouble(F, P):
     return X3, Y3, Z3
 
 
-def _finish(F, P, Q, X3, Y3, Z3, H, r):
-    """Shared special-case selects for complete addition."""
+def _finish(F, P, Q, X3, Y3, Z3, H, r, complete):
+    """Shared special-case selects. ``complete=False`` is prover mode: the
+    doubling branch (P == Q, probability ~2^-254 for honest MSM inputs;
+    an adversarial prover only invalidates their own proof) is skipped —
+    P == -Q still lands on the identity automatically since Z3 = Z1*Z2*H
+    = 0. Identity operands are always handled."""
     p_inf = F.is_zero(P[2])
     q_inf = F.is_zero(Q[2])
-    same_x = F.is_zero(H)
-    same_y = F.is_zero(r)
-    dbl = _pdouble(F, P)
-    is_dbl = same_x & same_y & ~p_inf & ~q_inf
-    to_inf = same_x & ~same_y & ~p_inf & ~q_inf
-    zero = F.zero(P[0])
     out = []
+    if complete:
+        same_x = F.is_zero(H)
+        same_y = F.is_zero(r)
+        dbl = _pdouble(F, P)
+        is_dbl = same_x & same_y & ~p_inf & ~q_inf
+        to_inf = same_x & ~same_y & ~p_inf & ~q_inf
+        zero = F.zero(P[0])
     for i, v in enumerate((X3, Y3, Z3)):
-        v = F.select(is_dbl, dbl[i], v)
-        v = F.select(to_inf, zero, v)
+        if complete:
+            v = F.select(is_dbl, dbl[i], v)
+            v = F.select(to_inf, zero, v)
         v = F.select(p_inf, Q[i], v)
         v = F.select(q_inf, P[i], v)
         out.append(v)
     return tuple(out)
 
 
-def _pmadd(F, P, Q):
+def _pmadd(F, P, Q, complete=True):
     """P (Jacobian) + Q (affine, Z2 = 1 in Montgomery form; Z2 plane is only
-    consulted for the point-at-infinity test). 8M + 3S + dbl branch."""
+    consulted for the point-at-infinity test). 8M + 3S (+ dbl branch when
+    complete)."""
     X1, Y1, Z1 = P
     X2, Y2, _ = Q
     Z1Z1 = F.sqr(Z1)
@@ -251,11 +258,11 @@ def _pmadd(F, P, Q):
     X3 = F.sub(F.sub(F.sqr(r), HHH), F.dbl(V))
     Y3 = F.sub(F.mul(r, F.sub(V, X3)), F.mul(Y1, HHH))
     Z3 = F.mul(Z1, H)
-    return _finish(F, P, Q, X3, Y3, Z3, H, r)
+    return _finish(F, P, Q, X3, Y3, Z3, H, r, complete)
 
 
-def _padd(F, P, Q):
-    """General complete Jacobian addition (12M + 4S + dbl branch)."""
+def _padd(F, P, Q, complete=True):
+    """General Jacobian addition (12M + 4S + dbl branch when complete)."""
     X1, Y1, Z1 = P
     X2, Y2, Z2 = Q
     Z1Z1 = F.sqr(Z1)
@@ -272,7 +279,7 @@ def _padd(F, P, Q):
     X3 = F.sub(F.sub(F.sqr(r), HHH), F.dbl(V))
     Y3 = F.sub(F.mul(r, F.sub(V, X3)), F.mul(S1, HHH))
     Z3 = F.mul(F.mul(Z1, Z2), H)
-    return _finish(F, P, Q, X3, Y3, Z3, H, r)
+    return _finish(F, P, Q, X3, Y3, Z3, H, r, complete)
 
 
 # --------------------------------------------------------------------------
@@ -299,7 +306,7 @@ def _zero_ref(ref):
     ref[...] = jnp.zeros(ref.shape, ref.dtype)
 
 
-def _make_prefix_kernel(ncomp, mixed):
+def _make_prefix_kernel(ncomp, mixed, complete):
     F = _field(ncomp)
     addf = _pmadd if mixed else _padd
 
@@ -312,32 +319,34 @@ def _make_prefix_kernel(ncomp, mixed):
 
         P = _load(acc_ref, ncomp)
         Q = _load(in_ref.at[0], ncomp)
-        R = addf(F, P, Q)
+        R = addf(F, P, Q, complete)
         _store(acc_ref, R, ncomp)
         _store(out_ref.at[0], R, ncomp)
 
     return kernel
 
 
-def _prefix_tiles(tiles, mixed, interpret=False):
-    """tiles: uint32[k, 3, ncomp, NLIMB, 8, 128] — grid step j adds tile j
-    into a persistent per-lane accumulator and emits the inclusive prefix."""
-    k, _, ncomp = tiles.shape[0], tiles.shape[1], tiles.shape[2]
-    blk = (1, 3, ncomp, NLIMB) + TILE
+def _prefix_tiles(tiles, mixed, complete, interpret=False):
+    """tiles: uint32[k, 3, ncomp, NLIMB, nt, 8, 128] — grid step j adds
+    tile j into a persistent per-lane accumulator and emits the inclusive
+    prefix. nt register sets per step (wider tiles hide the carry-chain
+    latency of the limb arithmetic)."""
+    k, _, ncomp, _, nt = tiles.shape[:5]
+    blk = (1, 3, ncomp, NLIMB, nt) + TILE
     return pl.pallas_call(
-        _make_prefix_kernel(ncomp, mixed),
+        _make_prefix_kernel(ncomp, mixed, complete),
         grid=(k,),
-        in_specs=[pl.BlockSpec(blk, lambda j: (j, 0, 0, 0, 0, 0),
+        in_specs=[pl.BlockSpec(blk, lambda j: (j, 0, 0, 0, 0, 0, 0),
                                memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec(blk, lambda j: (j, 0, 0, 0, 0, 0),
+        out_specs=pl.BlockSpec(blk, lambda j: (j, 0, 0, 0, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct(tiles.shape, jnp.uint32),
-        scratch_shapes=[pltpu.VMEM((3, ncomp, NLIMB) + TILE, jnp.uint32)],
+        scratch_shapes=[pltpu.VMEM((3, ncomp, NLIMB, nt) + TILE, jnp.uint32)],
         interpret=interpret,
     )(tiles)
 
 
-def _make_wsum_kernel(ncomp):
+def _make_wsum_kernel(ncomp, complete):
     """Weighted suffix reduction: over L grid steps fed B[L-1-j], maintains
     acc = running sum and tot = sum of running sums, so after the last step
     acc = sum_l B_l and tot = sum_l (l+1) * B_l. Emits both."""
@@ -351,8 +360,9 @@ def _make_wsum_kernel(ncomp):
             _zero_ref(acc_ref)
             _zero_ref(tot_ref)
 
-        acc = _padd(F, _load(acc_ref, ncomp), _load(in_ref.at[0], ncomp))
-        tot = _padd(F, _load(tot_ref, ncomp), acc)
+        acc = _padd(F, _load(acc_ref, ncomp), _load(in_ref.at[0], ncomp),
+                    complete)
+        tot = _padd(F, _load(tot_ref, ncomp), acc, complete)
         _store(acc_ref, acc, ncomp)
         _store(tot_ref, tot, ncomp)
 
@@ -364,41 +374,42 @@ def _make_wsum_kernel(ncomp):
     return kernel
 
 
-def _wsum_tiles(tiles, interpret=False):
-    L, _, ncomp = tiles.shape[0], tiles.shape[1], tiles.shape[2]
-    blk = (1, 3, ncomp, NLIMB) + TILE
-    out_blk = (2, 3, ncomp, NLIMB) + TILE
+def _wsum_tiles(tiles, complete, interpret=False):
+    L, _, ncomp, _, nt = tiles.shape[:5]
+    blk = (1, 3, ncomp, NLIMB, nt) + TILE
+    out_blk = (2, 3, ncomp, NLIMB, nt) + TILE
     return pl.pallas_call(
-        _make_wsum_kernel(ncomp),
+        _make_wsum_kernel(ncomp, complete),
         grid=(L,),
-        in_specs=[pl.BlockSpec(blk, lambda j: (j, 0, 0, 0, 0, 0),
+        in_specs=[pl.BlockSpec(blk, lambda j: (j, 0, 0, 0, 0, 0, 0),
                                memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec(out_blk, lambda j: (0, 0, 0, 0, 0, 0),
+        out_specs=pl.BlockSpec(out_blk, lambda j: (0, 0, 0, 0, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((2,) + tiles.shape[1:], jnp.uint32),
-        scratch_shapes=[pltpu.VMEM((3, ncomp, NLIMB) + TILE, jnp.uint32),
-                        pltpu.VMEM((3, ncomp, NLIMB) + TILE, jnp.uint32)],
+        scratch_shapes=[pltpu.VMEM((3, ncomp, NLIMB, nt) + TILE, jnp.uint32),
+                        pltpu.VMEM((3, ncomp, NLIMB, nt) + TILE, jnp.uint32)],
         interpret=interpret,
     )(tiles)
 
 
-def _make_addn_kernel(ncomp):
+def _make_addn_kernel(ncomp, complete):
     F = _field(ncomp)
 
     def kernel(a_ref, b_ref, o_ref):
-        R = _padd(F, _load(a_ref.at[0], ncomp), _load(b_ref.at[0], ncomp))
+        R = _padd(F, _load(a_ref.at[0], ncomp), _load(b_ref.at[0], ncomp),
+                  complete)
         _store(o_ref.at[0], R, ncomp)
 
     return kernel
 
 
-def _add_tiles(a, b, interpret=False):
-    nb, _, ncomp = a.shape[0], a.shape[1], a.shape[2]
-    blk = (1, 3, ncomp, NLIMB) + TILE
-    spec = pl.BlockSpec(blk, lambda j: (j, 0, 0, 0, 0, 0),
+def _add_tiles(a, b, complete, interpret=False):
+    nb, _, ncomp, _, nt = a.shape[:5]
+    blk = (1, 3, ncomp, NLIMB, nt) + TILE
+    spec = pl.BlockSpec(blk, lambda j: (j, 0, 0, 0, 0, 0, 0),
                         memory_space=pltpu.VMEM)
     return pl.pallas_call(
-        _make_addn_kernel(ncomp),
+        _make_addn_kernel(ncomp, complete),
         grid=(nb,),
         in_specs=[spec, spec],
         out_specs=spec,
@@ -407,23 +418,23 @@ def _add_tiles(a, b, interpret=False):
     )(a, b)
 
 
-def _make_scale_add_kernel(ncomp, log2s):
+def _make_scale_add_kernel(ncomp, log2s, complete):
     F = _field(ncomp)
 
     def kernel(a_ref, b_ref, o_ref):
         P = _load(a_ref, ncomp)
         if log2s:
             P = jax.lax.fori_loop(0, log2s, lambda i, s: _pdouble(F, s), P)
-        R = _padd(F, P, _load(b_ref, ncomp))
+        R = _padd(F, P, _load(b_ref, ncomp), complete)
         _store(o_ref, R, ncomp)
 
     return kernel
 
 
-def _scale_add_tile(a, b, log2s, interpret=False):
+def _scale_add_tile(a, b, log2s, complete, interpret=False):
     spec = pl.BlockSpec(memory_space=pltpu.VMEM)
     return pl.pallas_call(
-        _make_scale_add_kernel(a.shape[1], log2s),
+        _make_scale_add_kernel(a.shape[1], log2s, complete),
         in_specs=[spec, spec],
         out_specs=spec,
         out_shape=jax.ShapeDtypeStruct(a.shape, jnp.uint32),
@@ -431,7 +442,7 @@ def _scale_add_tile(a, b, log2s, interpret=False):
     )(a, b)
 
 
-def _make_horner_kernel(ncomp, c):
+def _make_horner_kernel(ncomp, c, complete):
     F = _field(ncomp)
 
     def kernel(in_ref, out_ref, acc_ref):
@@ -443,7 +454,7 @@ def _make_horner_kernel(ncomp, c):
 
         P = _load(acc_ref, ncomp)
         P = jax.lax.fori_loop(0, c, lambda i, s: _pdouble(F, s), P)
-        P = _padd(F, P, _load(in_ref.at[0], ncomp))
+        P = _padd(F, P, _load(in_ref.at[0], ncomp), complete)
         _store(acc_ref, P, ncomp)
 
         @pl.when(t == pl.num_programs(0) - 1)
@@ -453,21 +464,21 @@ def _make_horner_kernel(ncomp, c):
     return kernel
 
 
-def _horner_tiles(tiles, c, interpret=False):
-    """tiles: (W, 3, ncomp, NLIMB, 8, 128), step t = window W-1-t's sum
-    broadcast across lanes. Returns the final MSM point as one tile."""
-    W, _, ncomp = tiles.shape[0], tiles.shape[1], tiles.shape[2]
-    blk = (1, 3, ncomp, NLIMB) + TILE
+def _horner_tiles(tiles, c, complete, interpret=False):
+    """tiles: (W, 3, ncomp, NLIMB, nt, 8, 128), step t = window W-1-t's
+    sum broadcast across lanes. Returns the final MSM point as one tile."""
+    W, _, ncomp, _, nt = tiles.shape[:5]
+    blk = (1, 3, ncomp, NLIMB, nt) + TILE
     return pl.pallas_call(
-        _make_horner_kernel(ncomp, c),
+        _make_horner_kernel(ncomp, c, complete),
         grid=(W,),
-        in_specs=[pl.BlockSpec(blk, lambda t: (t, 0, 0, 0, 0, 0),
+        in_specs=[pl.BlockSpec(blk, lambda t: (t, 0, 0, 0, 0, 0, 0),
                                memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((3, ncomp, NLIMB) + TILE,
-                               lambda t: (0, 0, 0, 0, 0),
+        out_specs=pl.BlockSpec((3, ncomp, NLIMB, nt) + TILE,
+                               lambda t: (0, 0, 0, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct(tiles.shape[1:], jnp.uint32),
-        scratch_shapes=[pltpu.VMEM((3, ncomp, NLIMB) + TILE, jnp.uint32)],
+        scratch_shapes=[pltpu.VMEM((3, ncomp, NLIMB, nt) + TILE, jnp.uint32)],
         interpret=interpret,
     )(tiles)
 
@@ -479,31 +490,34 @@ def _horner_tiles(tiles, c, interpret=False):
 # --------------------------------------------------------------------------
 
 
-def _rows_to_lane_tiles(rows):
-    """(n*1024, 3, ncomp, L) -> (n, 3, ncomp, L, 8, 128); lane = row index."""
-    n = rows.shape[0] // TILE_N
+def _rows_to_lane_tiles(rows, lanes=TILE_N):
+    """(n*lanes, 3, ncomp, L) -> (n, 3, ncomp, L, nt, 8, 128)."""
+    n = rows.shape[0] // lanes
     _, ncomp, L = rows.shape[1:]
-    return rows.reshape(n, 8, 128, 3, ncomp, L).transpose(0, 3, 4, 5, 1, 2)
+    nt = lanes // TILE_N
+    return rows.reshape(n, nt, 8, 128, 3, ncomp, L).transpose(
+        0, 4, 5, 6, 1, 2, 3)
 
 
 def _lane_tiles_to_rows(tiles):
-    n = tiles.shape[0]
-    return tiles.transpose(0, 4, 5, 1, 2, 3).reshape(
-        n * TILE_N, *tiles.shape[1:4])
+    n, _, _, _, nt = tiles.shape[:5]
+    return tiles.transpose(0, 4, 5, 6, 1, 2, 3).reshape(
+        n * nt * TILE_N, *tiles.shape[1:4])
 
 
-def _sorted_to_scan_tiles(rows, k):
+def _sorted_to_scan_tiles(rows, k, lanes=TILE_N):
     """Chunk-contiguous layout: row i -> (step i % k, lane i // k)."""
     _, ncomp, L = rows.shape[1:]
-    return rows.reshape(TILE_N, k, 3, ncomp, L).transpose(
-        1, 2, 3, 4, 0).reshape(k, 3, ncomp, L, 8, 128)
+    nt = lanes // TILE_N
+    return rows.reshape(lanes, k, 3, ncomp, L).transpose(
+        1, 2, 3, 4, 0).reshape(k, 3, ncomp, L, nt, 8, 128)
 
 
 def _scan_tiles_to_sorted(tiles):
-    k = tiles.shape[0]
-    _, ncomp, L = tiles.shape[1:4]
-    return tiles.reshape(k, 3, ncomp, L, TILE_N).transpose(
-        4, 0, 1, 2, 3).reshape(TILE_N * k, 3, ncomp, L)
+    k, _, ncomp, L, nt = tiles.shape[:5]
+    lanes = nt * TILE_N
+    return tiles.reshape(k, 3, ncomp, L, lanes).transpose(
+        4, 0, 1, 2, 3).reshape(lanes * k, 3, ncomp, L)
 
 
 def _pad_rows(rows, lanes):
@@ -513,8 +527,10 @@ def _pad_rows(rows, lanes):
     return rows
 
 
-def _tile_to_lane_rows(tile, lanes):
-    return tile.transpose(3, 4, 0, 1, 2).reshape(TILE_N, *tile.shape[:3])[:lanes]
+def _tile_to_lane_rows(tile, n):
+    nt = tile.shape[3]
+    return tile.transpose(3, 4, 5, 0, 1, 2).reshape(
+        nt * TILE_N, *tile.shape[:3])[:n]
 
 
 def rows_neg_y(rows):
@@ -523,52 +539,63 @@ def rows_neg_y(rows):
 
 
 class PallasBackend:
-    """Real-TPU backend: serial phases as Pallas grid kernels."""
+    """Real-TPU backend: serial phases as Pallas grid kernels.
 
-    def __init__(self, interpret=False):
+    ``lanes`` = chunk count per prefix scan = nt * 1024 register-tile
+    lanes per grid step (wider = fewer serial steps, better latency
+    hiding; VMEM caps nt around 4-8). ``complete=False`` is prover mode
+    (see _finish)."""
+
+    def __init__(self, interpret=False, lanes=TILE_N, complete=True):
+        assert lanes % TILE_N == 0
         self.interpret = interpret
+        self.lanes = lanes
+        self.complete = complete
 
     def prefix(self, rows, k, mixed):
-        """rows (1024*k, 3, nc, L) chunk-contiguous -> inclusive prefixes."""
-        tiles = _sorted_to_scan_tiles(rows, k)
+        """rows (lanes*k, 3, nc, L) chunk-contiguous -> inclusive prefixes."""
+        tiles = _sorted_to_scan_tiles(rows, k, self.lanes)
         return _scan_tiles_to_sorted(
-            _prefix_tiles(tiles, mixed, self.interpret))
+            _prefix_tiles(tiles, mixed, self.complete, self.interpret))
 
     def addn(self, a, b):
         n = a.shape[0]
-        lanes = -(-n // TILE_N) * TILE_N
-        out = _add_tiles(_rows_to_lane_tiles(_pad_rows(a, lanes)),
-                         _rows_to_lane_tiles(_pad_rows(b, lanes)),
-                         self.interpret)
+        lanes = -(-n // self.lanes) * self.lanes
+        out = _add_tiles(
+            _rows_to_lane_tiles(_pad_rows(a, lanes), self.lanes),
+            _rows_to_lane_tiles(_pad_rows(b, lanes), self.lanes),
+            self.complete, self.interpret)
         return _lane_tiles_to_rows(out)[:n]
 
     def wsum(self, B):
         """B (lanes, L, 3, nc, NL) -> (acc, tot) rows (lanes, 3, nc, NL):
         acc = sum_l B[:, l], tot = sum_l (l+1) * B[:, l]."""
-        lanes, L = B.shape[:2]
+        nl, L = B.shape[:2]
         _, ncomp = B.shape[2:4]
-        steps = jnp.moveaxis(B, 1, 0)[::-1]      # (L, lanes, 3, nc, NL)
-        steps = jnp.pad(steps, ((0, 0), (0, TILE_N - lanes)) + ((0, 0),) * 3)
-        tiles = steps.reshape(L, 8, 128, 3, ncomp, NLIMB).transpose(
-            0, 3, 4, 5, 1, 2)
-        out = _wsum_tiles(tiles, self.interpret)
-        return (_tile_to_lane_rows(out[0], lanes),
-                _tile_to_lane_rows(out[1], lanes))
+        nt = self.lanes // TILE_N
+        steps = jnp.moveaxis(B, 1, 0)[::-1]      # (L, nl, 3, nc, NL)
+        steps = jnp.pad(steps,
+                        ((0, 0), (0, self.lanes - nl)) + ((0, 0),) * 3)
+        tiles = steps.reshape(L, nt, 8, 128, 3, ncomp, NLIMB).transpose(
+            0, 4, 5, 6, 1, 2, 3)
+        out = _wsum_tiles(tiles, self.complete, self.interpret)
+        return (_tile_to_lane_rows(out[0], nl),
+                _tile_to_lane_rows(out[1], nl))
 
     def scale_add(self, a, b, log2s):
-        """2^log2s * a + b on rows (lanes <= 1024)."""
-        lanes = a.shape[0]
-        ta = _rows_to_lane_tiles(_pad_rows(a, TILE_N))[0]
-        tb = _rows_to_lane_tiles(_pad_rows(b, TILE_N))[0]
-        out = _scale_add_tile(ta, tb, log2s, self.interpret)
-        return _tile_to_lane_rows(out, lanes)
+        """2^log2s * a + b on rows (count <= lanes)."""
+        n = a.shape[0]
+        ta = _rows_to_lane_tiles(_pad_rows(a, self.lanes), self.lanes)[0]
+        tb = _rows_to_lane_tiles(_pad_rows(b, self.lanes), self.lanes)[0]
+        out = _scale_add_tile(ta, tb, log2s, self.complete, self.interpret)
+        return _tile_to_lane_rows(out, n)
 
     def horner(self, S, c):
         """S (W, 3, nc, NL) window sums -> final MSM point row (3, nc, NL)."""
-        W = S.shape[0]
+        nt = self.lanes // TILE_N
         h_in = jnp.broadcast_to(
-            S[::-1][:, :, :, :, None, None], S.shape + TILE)
-        out = _horner_tiles(h_in, c, self.interpret)
+            S[::-1][:, :, :, :, None, None, None], S.shape + (nt,) + TILE)
+        out = _horner_tiles(h_in, c, self.complete, self.interpret)
         return _tile_to_lane_rows(out, 1)[0]
 
 
@@ -577,8 +604,10 @@ class XlaBackend:
     (scan-based fctx limb arithmetic — small graphs, CPU-compilable). Used
     by the CPU test suite and the virtual-mesh multichip dryrun."""
 
-    def __init__(self, ncomp):
+    def __init__(self, ncomp, complete=True):
         self.F = _xfield(ncomp)
+        self.lanes = TILE_N
+        self.complete = complete
 
     def _pt(self, rows):
         return (rows[..., 0, :, :], rows[..., 1, :, :], rows[..., 2, :, :])
@@ -589,11 +618,11 @@ class XlaBackend:
 
     def prefix(self, rows, k, mixed):
         resh = jnp.moveaxis(
-            rows.reshape(TILE_N, k, *rows.shape[1:]), 1, 0)
+            rows.reshape(self.lanes, k, *rows.shape[1:]), 1, 0)
 
         def step(acc, q):
             R = (_pmadd if mixed else _padd)(
-                self.F, self._pt(acc), self._pt(q))
+                self.F, self._pt(acc), self._pt(q), self.complete)
             nacc = self._rows(R)
             return nacc, nacc
 
@@ -602,15 +631,18 @@ class XlaBackend:
         return jnp.moveaxis(pref, 0, 1).reshape(rows.shape)
 
     def addn(self, a, b):
-        return self._rows(_padd(self.F, self._pt(a), self._pt(b)))
+        return self._rows(_padd(self.F, self._pt(a), self._pt(b),
+                                self.complete))
 
     def wsum(self, B):
         steps = jnp.moveaxis(B, 1, 0)[::-1]
 
         def step(carry, q):
             acc, tot = carry
-            acc = self._rows(_padd(self.F, self._pt(acc), self._pt(q)))
-            tot = self._rows(_padd(self.F, self._pt(tot), self._pt(acc)))
+            acc = self._rows(_padd(self.F, self._pt(acc), self._pt(q),
+                                   self.complete))
+            tot = self._rows(_padd(self.F, self._pt(tot), self._pt(acc),
+                                   self.complete))
             return (acc, tot), None
 
         z = jnp.zeros_like(steps[0])
@@ -683,9 +715,10 @@ def _reduction_shape(half: int):
     return C, L
 
 
-def make_backend(backend: str, ncomp: int, interpret: bool = False):
-    return PallasBackend(interpret) if backend == "pallas" \
-        else XlaBackend(ncomp)
+def make_backend(backend: str, ncomp: int, interpret: bool = False,
+                 lanes: int = TILE_N, complete: bool = True):
+    return PallasBackend(interpret, lanes, complete) if backend == "pallas" \
+        else XlaBackend(ncomp, complete)
 
 
 def window_sums(rows, scalar_limbs, c, be):
@@ -695,8 +728,9 @@ def window_sums(rows, scalar_limbs, c, be):
     folds them with one collective, and Horner runs once
     (tpu_zkpool/parallel/msm_sharded.py)."""
     N, _, ncomp, _ = rows.shape
-    assert N % TILE_N == 0
-    k = N // TILE_N
+    lanes = be.lanes
+    assert N % lanes == 0
+    k = N // lanes
     W = n_windows(c)
     half = 1 << (c - 1)
     C, L = _reduction_shape(half)
@@ -719,38 +753,39 @@ def window_sums(rows, scalar_limbs, c, be):
         wvals = jnp.take(pr, idx, axis=0)          # (nq, 3, ncomp, L)
         cids = idx // k
         zmask = starts == 0
-        totals = jnp.take(pr, (jnp.arange(TILE_N) + 1) * k - 1, axis=0)
+        totals = jnp.take(pr, (jnp.arange(lanes) + 1) * k - 1, axis=0)
         return None, (wvals, cids, zmask, totals)
 
     _, (WV, CID, ZM, TOT) = jax.lax.scan(
         per_window, None,
         (orders.T, neg.T, bucket.T))
-    # WV (W, nq, 3, ncomp, L); TOT (W, 1024, 3, ncomp, L)
+    # WV (W, nq, 3, ncomp, L); TOT (W, lanes, 3, ncomp, L)
 
-    # ---- cross-chunk exclusive prefix of the 1024 chunk totals, all
-    # windows batched into lanes: level 1 groups the 1024 chunks of window
-    # w into 32 groups of 32; flat row index (w*32+g)*32 + e = w*1024 +
+    # ---- cross-chunk exclusive prefix of the `lanes` chunk totals, all
+    # windows batched into lanes: level 1 groups the chunks of window w
+    # into GA groups of 32; flat row index (w*GA+g)*32 + e = w*lanes +
     # g*32 + e is exactly TOT's flat order.
-    l1_rows = _pad_rows(TOT.reshape(W * TILE_N, 3, ncomp, NLIMB),
-                        TILE_N * 32)
+    GA = lanes // 32
+    l1_rows = _pad_rows(TOT.reshape(W * lanes, 3, ncomp, NLIMB),
+                        lanes * 32)
     l1 = be.prefix(l1_rows, 32, mixed=False)
-    gtot = l1[jnp.arange(W * 32) * 32 + 31]        # (W*32,) group totals
-    l2_rows = _pad_rows(gtot, TILE_N * 32)
-    l2 = be.prefix(l2_rows, 32, mixed=False)       # lane w, element g
+    gtot = l1[jnp.arange(W * GA) * 32 + 31]        # (W*GA,) group totals
+    l2_rows = _pad_rows(gtot, lanes * GA)
+    l2 = be.prefix(l2_rows, GA, mixed=False)       # lane w, element g
 
-    # excl[w, chunk=g*32+e] = l1[e-1 @ lane w*32+g] + l2[g-1 @ lane w]
+    # excl[w, chunk=g*32+e] = l1[e-1 @ lane w*GA+g] + l2[g-1 @ lane w]
     wi = jnp.arange(W)[:, None]
-    ch = jnp.arange(TILE_N)[None, :]
+    ch = jnp.arange(lanes)[None, :]
     g, e = ch // 32, ch % 32
-    a_idx = ((wi * 32 + g) * 32 + (e - 1)).reshape(-1)
-    e_mask = jnp.broadcast_to(e == 0, (W, TILE_N)).reshape(-1)
+    a_idx = ((wi * GA + g) * 32 + (e - 1)).reshape(-1)
+    e_mask = jnp.broadcast_to(e == 0, (W, lanes)).reshape(-1)
     a = jnp.take(l1, jnp.clip(a_idx, 0, None), axis=0)
     a = jnp.where(e_mask[:, None, None, None], jnp.zeros_like(a), a)
-    b_idx = (wi * 32 + (g - 1)).reshape(-1)
-    g_mask = jnp.broadcast_to(g == 0, (W, TILE_N)).reshape(-1)
+    b_idx = (wi * GA + (g - 1)).reshape(-1)
+    g_mask = jnp.broadcast_to(g == 0, (W, lanes)).reshape(-1)
     b = jnp.take(l2, jnp.clip(b_idx, 0, None), axis=0)
     b = jnp.where(g_mask[:, None, None, None], jnp.zeros_like(b), b)
-    excl = be.addn(a, b).reshape(W, TILE_N, 3, ncomp, NLIMB)
+    excl = be.addn(a, b).reshape(W, lanes, 3, ncomp, NLIMB)
 
     # ---- E[i] at bucket boundaries; B_j = E[start_{j+1}] - E[start_j] ----
     ex_at = jnp.take_along_axis(
@@ -786,32 +821,36 @@ def window_sums(rows, scalar_limbs, c, be):
     return be.scale_add(mT, sU, L.bit_length() - 1)   # (W, 3, ncomp, L)
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3, 4))
-def _msm_rows(rows, scalar_limbs, c, backend, interpret):
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5, 6))
+def _msm_rows(rows, scalar_limbs, c, backend, interpret, lanes, complete):
     """rows: uint32[N, 3, ncomp, 16] Jacobian Montgomery points with Z in
-    {R, 0}; scalar_limbs: uint32[N, 16] plain. N must be a multiple of 1024.
-    Returns the MSM as one point row (3, ncomp, 16)."""
-    be = make_backend(backend, rows.shape[2], interpret)
+    {R, 0}; scalar_limbs: uint32[N, 16] plain. N must be a multiple of
+    ``lanes``. Returns the MSM as one point row (3, ncomp, 16)."""
+    be = make_backend(backend, rows.shape[2], interpret, lanes, complete)
     S = window_sums(rows, scalar_limbs, c, be)
     return be.horner(S, c)                         # (3, ncomp, L)
 
 
 def msm_grid_g1(points, scalar_limbs, c: int = 13, backend: str = "pallas",
-                interpret: bool = False):
+                interpret: bool = False, lanes: int = TILE_N,
+                complete: bool = True):
     """Grid-accumulator MSM over G1.
 
     points: (X, Y, Z) uint32[N, 16] Montgomery Jacobian with Z in {R, 0}
     (affine inputs or identity padding); scalar_limbs uint32[N, 16] plain.
-    N must be a multiple of 1024. Returns (X, Y, Z) uint32[16] each.
+    N must be a multiple of ``lanes``. Returns (X, Y, Z) uint32[16] each.
+    ``lanes``/``complete``: see PallasBackend.
     """
     X, Y, Z = points
     rows = jnp.stack([X, Y, Z], axis=1)[:, :, None, :]
-    out = _msm_rows(rows, jnp.asarray(scalar_limbs), c, backend, interpret)
+    out = _msm_rows(rows, jnp.asarray(scalar_limbs), c, backend, interpret,
+                    lanes, complete)
     return out[0, 0], out[1, 0], out[2, 0]
 
 
 def msm_grid_g2(points, scalar_limbs, c: int = 13, backend: str = "pallas",
-                interpret: bool = False):
+                interpret: bool = False, lanes: int = TILE_N,
+                complete: bool = True):
     """Grid-accumulator MSM over G2 (coordinates in Fp2).
 
     points: (X, Y, Z) uint32[N, 2, 16] Montgomery Jacobian (Z in {R, 0}).
@@ -819,7 +858,8 @@ def msm_grid_g2(points, scalar_limbs, c: int = 13, backend: str = "pallas",
     """
     X, Y, Z = points
     rows = jnp.stack([X, Y, Z], axis=1)
-    out = _msm_rows(rows, jnp.asarray(scalar_limbs), c, backend, interpret)
+    out = _msm_rows(rows, jnp.asarray(scalar_limbs), c, backend, interpret,
+                    lanes, complete)
     return out[0], out[1], out[2]
 
 

@@ -53,3 +53,35 @@ def msm_grid_sharded(rows, scalar_limbs, mesh, axis: str = "dp",
     )(rows, scalar_limbs)
     be = make_backend(backend, ncomp, interpret)
     return be.horner(S, c)
+
+
+def msm_grid_sharded_2d(rows, scalar_limbs, mesh, axis_host: str = "host",
+                        axis_chip: str = "chip", c: int = 13,
+                        backend: str = "xla", interpret: bool = False):
+    """Pod-scale MSM over a (host, chip) mesh: per-device window sums fold
+    hierarchically — ICI (chip axis) first, then one partial per host over
+    DCN (parallel/multihost.py) — before the single Horner combine."""
+    from tpu_zkpool.parallel.multihost import hierarchical_fold
+
+    D = mesh.shape[axis_host] * mesh.shape[axis_chip]
+    N = rows.shape[0]
+    ncomp = rows.shape[2]
+    assert N % (TILE_N * D) == 0, "need 1024 points per device"
+
+    def local(rows_l, limbs_l):
+        be = make_backend(backend, ncomp, interpret)
+        S = window_sums(rows_l, limbs_l, c, be)
+
+        def fold(acc, part):
+            return be.addn(acc, part)
+
+        return hierarchical_fold(fold, S, mesh, axis_host, axis_chip)
+
+    S = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P((axis_host, axis_chip)), P((axis_host, axis_chip))),
+        out_specs=P(),
+        check_vma=False,
+    )(rows, scalar_limbs)
+    be = make_backend(backend, ncomp, interpret)
+    return be.horner(S, c)
