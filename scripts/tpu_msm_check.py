@@ -70,4 +70,42 @@ def main():
     print(f"timed: {dt:.3f}s per MSM of 2^{log2n} -> {n/dt:,.0f} pts/s", flush=True)
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "g2":
+        main_g2()
+    else:
+        main()
+
+
+def main_g2():
+    """G2 (Fp2) grid MSM vs the native oracle: tpu_msm_check.py g2 [log2N]."""
+    log2n = int(sys.argv[2]) if len(sys.argv) > 2 else 12
+    lanes = int(sys.argv[3]) if len(sys.argv) > 3 else 1024
+    n = 1 << log2n
+    print(f"G2 check n=2^{log2n} lanes={lanes}", flush=True)
+    rng = random.Random(5)
+    base = [rng.randrange(1, 1 << 62) for _ in range(n)]
+    t0 = time.time()
+    aff = native_bridge.g2_gen_mul_batch(base)
+    ks = [rng.randrange(0, FR_MOD) for _ in range(n)]
+    print(f"host setup: {time.time()-t0:.1f}s", flush=True)
+    from tpu_zkpool.groth16.prove_tpu import _points_device_g2, _g2_affine
+    pts, npad = _points_device_g2(aff)
+    assert npad == n
+    limbs = jnp.asarray(ints_to_limbs(ks))
+    t0 = time.time()
+    out = mg.msm_grid_g2(pts, limbs, c=13, backend="pallas", lanes=lanes,
+                         complete=False)
+    got = _g2_affine(out)
+    print(f"first run: {time.time()-t0:.1f}s", flush=True)
+    exp = native_bridge.g2_msm(ks, aff)
+    assert got == exp, f"G2 MISMATCH"
+    print("G2 CORRECT vs native oracle", flush=True)
+    t0 = time.time()
+    iters = 3
+    for it in range(iters):
+        ks2 = [(k + it + 1) % FR_MOD for k in ks]
+        out = mg.msm_grid_g2(pts, jnp.asarray(ints_to_limbs(ks2)), c=13,
+                             backend="pallas", lanes=lanes, complete=False)
+        int(jax.device_get(jnp.sum(out[0])))
+    dt = (time.time() - t0) / iters
+    print(f"G2 timed: {dt:.3f}s per MSM -> {n/dt:,.0f} pts/s", flush=True)
