@@ -75,10 +75,13 @@ class DeviceProvingKey:
     """Device-resident query points (G1 and G2) + the host pk."""
 
     def __init__(self, pk: g16.ProvingKey, c: int = 13,
-                 backend: str = "pallas"):
+                 backend: str = "pallas", complete: bool = False):
+        # complete=False: prover-mode incomplete adds (grid._finish) — an
+        # invalid MSM only invalidates the prover's own proof.
         self.pk = pk
         self.c = c
         self.backend = backend
+        self.complete = complete
         self.a_query, self._na = _points_device(pk.a_query)
         self.b1_query, _ = _points_device(pk.b1_query)
         self.k_query, self._nk = _points_device(pk.k_query)
@@ -89,14 +92,16 @@ class DeviceProvingKey:
 
     def _msm_g1(self, points_dev, npad, scalars: list):
         out = msm_grid_g1(points_dev, _scalar_limbs(scalars, npad),
-                          c=self.c, backend=self.backend)
+                          c=self.c, backend=self.backend,
+                          complete=self.complete)
         xs, ys = _g1_affine(out)
         return None if xs == 0 and ys == 0 else (xs, ys)
 
     def _msm_g2(self, scalars: list):
         X, Y, Z = msm_grid_g2(self.b2_query,
                               _scalar_limbs(scalars, self._nb2),
-                              c=self.c, backend=self.backend)
+                              c=self.c, backend=self.backend,
+                              complete=self.complete)
         return _g2_affine((X, Y, Z))
 
 
