@@ -62,7 +62,9 @@ def test_xla_prefix_vs_oracle():
     aff = _points(n)
     rows = _rows_from_affine(aff)
     be = mg.XlaBackend(ncomp=1)
-    pref = np.asarray(be.prefix(rows, 2, mixed=True))
+    # mixed prefix consumes affine (X, Y) rows only (identity inputs are
+    # excluded upstream by digit-zeroing, see window_sums)
+    pref = np.asarray(be.prefix(rows[:, :2], 2, mixed=True))
     rng = random.Random(7)
     for _ in range(6):
         i = rng.randrange(n)
@@ -71,11 +73,10 @@ def test_xla_prefix_vs_oracle():
         for j in range(off + 1):
             exp = pr.g1_add(exp, aff[chunk * 2 + j])
         assert _row_to_affine(pref[i]) == exp, f"prefix at {i}"
-    # identity padding rows stay identity through the mixed add
+    # general (Jacobian) prefix handles identity rows
     rows_pad = jnp.asarray(np.concatenate(
         [np.asarray(rows)[:1024], np.zeros((1024, 3, 1, NLIMB), np.uint32)]))
-    pref2 = np.asarray(be.prefix(rows_pad, 2, mixed=True))
-    # rows 1024.. are padding -> chunks 512.. are all-identity
+    pref2 = np.asarray(be.prefix(rows_pad, 2, mixed=False))
     assert _row_to_affine(pref2[1025]) is None
     assert _row_to_affine(pref2[1]) == pr.g1_add(aff[0], aff[1])
 
@@ -118,14 +119,19 @@ import pytest
 @pytest.mark.skipif(os.environ.get("RUN_SLOW") != "1",
                     reason="~15 min XLA-CPU compile (RUN_SLOW=1); passes")
 def test_msm_grid_full_xla():
-    n = 1024
+    # 900 real points + 124 identity-padding rows (exercises the
+    # digit-zeroing / safe-point substitution path)
+    n, real = 1024, 900
     rng = random.Random(42)
-    aff = _points(n, seed=5)
-    ks = [rng.randrange(0, FR_MOD) for _ in range(n)]
-    rows = _rows_from_affine(aff)
+    aff = _points(real, seed=5)
+    ks = [rng.randrange(0, FR_MOD) for _ in range(real)]
+    rows = np.zeros((n, 3, 1, NLIMB), np.uint32)
+    rows[:real] = np.asarray(_rows_from_affine(aff))
+    rows = jnp.asarray(rows)
     pts = (rows[:, 0, 0], rows[:, 1, 0], rows[:, 2, 0])
-    limbs = jnp.asarray(ints_to_limbs(ks))
-    X, Y, Z = mg.msm_grid_g1(pts, limbs, c=13, backend="xla")
+    limbs = np.zeros((n, NLIMB), np.uint32)
+    limbs[:real] = ints_to_limbs(ks)
+    X, Y, Z = mg.msm_grid_g1(pts, jnp.asarray(limbs), c=13, backend="xla")
     got = _row_to_affine(np.stack([np.asarray(X)[None], np.asarray(Y)[None],
                                    np.asarray(Z)[None]]))
     exp = native_bridge.g1_msm(ks, aff)

@@ -42,12 +42,13 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from tpu_zkpool.fields.fctx import FP
-from tpu_zkpool.fields.limbs import NLIMB, MASK, WBITS
+from tpu_zkpool.fields.limbs import NLIMB, MASK, WBITS, int_to_limbs
 from tpu_zkpool.hash.poseidon_pallas import TILE, TILE_N, _mont_mul, _add_mod
 from tpu_zkpool.curve.curve_pallas import _sub_mod, _dbl_mod, _is_zero
 
 _PJ = [np.uint32(v) for v in FP.p_limbs]
 _N0 = np.uint32(FP.n0)
+_R1 = [np.uint32(v) for v in int_to_limbs(FP.r_mod_p)]  # Montgomery 1
 
 SCALAR_BITS = 255  # BN254 Fr < 2^254; one guard bit for the signed recode
 
@@ -89,6 +90,10 @@ class _Fp:
     @staticmethod
     def zero(like):
         return [[jnp.zeros_like(r) for r in like[0]]]
+
+    @staticmethod
+    def one(like):
+        return [[jnp.full_like(r, _R1[l]) for l, r in enumerate(like[0])]]
 
     @staticmethod
     def select(cond, a, b):
@@ -135,6 +140,11 @@ class _Fp2:
         return [[jnp.zeros_like(r) for r in c] for c in like]
 
     @staticmethod
+    def one(like):
+        return [[jnp.full_like(r, _R1[l]) for l, r in enumerate(like[0])],
+                [jnp.zeros_like(r) for r in like[1]]]
+
+    @staticmethod
     def select(cond, a, b):
         return [[jnp.where(cond, x, y) for x, y in zip(ca, cb)]
                 for ca, cb in zip(a, b)]
@@ -160,6 +170,13 @@ class _XFp:
         return jnp.all(a == 0, axis=(-1, -2))
 
     zero = staticmethod(jnp.zeros_like)
+
+    @staticmethod
+    def one(like):
+        one = jnp.asarray(np.asarray(_R1, dtype=np.uint32))
+        out = jnp.zeros_like(like)
+        return out.at[..., 0, :].set(jnp.broadcast_to(
+            one, like[..., 0, :].shape))
 
     @staticmethod
     def select(cond, a, b):
@@ -215,38 +232,46 @@ def _pdouble(F, P):
     return X3, Y3, Z3
 
 
-def _finish(F, P, Q, X3, Y3, Z3, H, r, complete):
+def _finish(F, P, Q, X3, Y3, Z3, H, r, complete, q_affine=False):
     """Shared special-case selects. ``complete=False`` is prover mode: the
     doubling branch (P == Q, probability ~2^-254 for honest MSM inputs;
     an adversarial prover only invalidates their own proof) is skipped —
     P == -Q still lands on the identity automatically since Z3 = Z1*Z2*H
     = 0. Identity operands are always handled."""
     p_inf = F.is_zero(P[2])
-    q_inf = F.is_zero(Q[2])
+    q_inf = None if q_affine else F.is_zero(Q[2])
     out = []
     if complete:
         same_x = F.is_zero(H)
         same_y = F.is_zero(r)
         dbl = _pdouble(F, P)
-        is_dbl = same_x & same_y & ~p_inf & ~q_inf
-        to_inf = same_x & ~same_y & ~p_inf & ~q_inf
+        finite = ~p_inf if q_inf is None else (~p_inf & ~q_inf)
+        is_dbl = same_x & same_y & finite
+        to_inf = same_x & ~same_y & finite
         zero = F.zero(P[0])
+    if q_affine:
+        one = F.one(P[0])
+        q_jac = (Q[0], Q[1], one)
+    else:
+        q_jac = Q
     for i, v in enumerate((X3, Y3, Z3)):
         if complete:
             v = F.select(is_dbl, dbl[i], v)
             v = F.select(to_inf, zero, v)
-        v = F.select(p_inf, Q[i], v)
-        v = F.select(q_inf, P[i], v)
+        v = F.select(p_inf, q_jac[i], v)
+        if q_inf is not None:
+            v = F.select(q_inf, P[i], v)
         out.append(v)
     return tuple(out)
 
 
 def _pmadd(F, P, Q, complete=True):
-    """P (Jacobian) + Q (affine, Z2 = 1 in Montgomery form; Z2 plane is only
-    consulted for the point-at-infinity test). 8M + 3S (+ dbl branch when
-    complete)."""
+    """P (Jacobian) + Q ((X2, Y2) affine, implicit Z2 = 1). Identity/padding
+    INPUT points are not representable — the pipeline zeroes their window
+    digits instead (bucket 0 is never read), so every Q is a valid curve
+    point. 8M + 3S (+ dbl branch when complete)."""
     X1, Y1, Z1 = P
-    X2, Y2, _ = Q
+    X2, Y2 = Q[0], Q[1]
     Z1Z1 = F.sqr(Z1)
     U2 = F.mul(X2, Z1Z1)
     S2 = F.mul(Y2, F.mul(Z1, Z1Z1))
@@ -258,7 +283,7 @@ def _pmadd(F, P, Q, complete=True):
     X3 = F.sub(F.sub(F.sqr(r), HHH), F.dbl(V))
     Y3 = F.sub(F.mul(r, F.sub(V, X3)), F.mul(Y1, HHH))
     Z3 = F.mul(Z1, H)
-    return _finish(F, P, Q, X3, Y3, Z3, H, r, complete)
+    return _finish(F, P, Q, X3, Y3, Z3, H, r, complete, q_affine=True)
 
 
 def _padd(F, P, Q, complete=True):
@@ -288,10 +313,10 @@ def _padd(F, P, Q, complete=True):
 # --------------------------------------------------------------------------
 
 
-def _load(ref, ncomp):
+def _load(ref, ncomp, ncoord=3):
     return tuple(
         [[ref[c, q, l] for l in range(NLIMB)] for q in range(ncomp)]
-        for c in range(3)
+        for c in range(ncoord)
     )
 
 
@@ -318,7 +343,7 @@ def _make_prefix_kernel(ncomp, mixed, complete):
             _zero_ref(acc_ref)
 
         P = _load(acc_ref, ncomp)
-        Q = _load(in_ref.at[0], ncomp)
+        Q = _load(in_ref.at[0], ncomp, 2 if mixed else 3)
         R = addf(F, P, Q, complete)
         _store(acc_ref, R, ncomp)
         _store(out_ref.at[0], R, ncomp)
@@ -327,20 +352,23 @@ def _make_prefix_kernel(ncomp, mixed, complete):
 
 
 def _prefix_tiles(tiles, mixed, complete, interpret=False):
-    """tiles: uint32[k, 3, ncomp, NLIMB, nt, 8, 128] — grid step j adds
-    tile j into a persistent per-lane accumulator and emits the inclusive
-    prefix. nt register sets per step (wider tiles hide the carry-chain
-    latency of the limb arithmetic)."""
-    k, _, ncomp, _, nt = tiles.shape[:5]
-    blk = (1, 3, ncomp, NLIMB, nt) + TILE
+    """tiles: uint32[k, C, ncomp, NLIMB, nt, 8, 128] with C = 2 (affine
+    X/Y, mixed path — identity inputs are excluded by digit-zeroing) or 3
+    (Jacobian). Grid step j adds tile j into a persistent per-lane
+    accumulator and emits the inclusive Jacobian prefix. nt register sets
+    per step hide the carry-chain latency of the limb arithmetic."""
+    k, C, ncomp, _, nt = tiles.shape[:5]
+    assert C == (2 if mixed else 3)
+    in_blk = (1, C, ncomp, NLIMB, nt) + TILE
+    out_blk = (1, 3, ncomp, NLIMB, nt) + TILE
     return pl.pallas_call(
         _make_prefix_kernel(ncomp, mixed, complete),
         grid=(k,),
-        in_specs=[pl.BlockSpec(blk, lambda j: (j, 0, 0, 0, 0, 0, 0),
+        in_specs=[pl.BlockSpec(in_blk, lambda j: (j, 0, 0, 0, 0, 0, 0),
                                memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec(blk, lambda j: (j, 0, 0, 0, 0, 0, 0),
+        out_specs=pl.BlockSpec(out_blk, lambda j: (j, 0, 0, 0, 0, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct(tiles.shape, jnp.uint32),
+        out_shape=jax.ShapeDtypeStruct((k, 3) + tiles.shape[2:], jnp.uint32),
         scratch_shapes=[pltpu.VMEM((3, ncomp, NLIMB, nt) + TILE, jnp.uint32)],
         interpret=interpret,
     )(tiles)
@@ -553,7 +581,8 @@ class PallasBackend:
         self.complete = complete
 
     def prefix(self, rows, k, mixed):
-        """rows (lanes*k, 3, nc, L) chunk-contiguous -> inclusive prefixes."""
+        """rows (lanes*k, C, nc, L) chunk-contiguous (C = 2 affine for the
+        mixed path, 3 Jacobian otherwise) -> inclusive Jacobian prefixes."""
         tiles = _sorted_to_scan_tiles(rows, k, self.lanes)
         return _scan_tiles_to_sorted(
             _prefix_tiles(tiles, mixed, self.complete, self.interpret))
@@ -621,14 +650,20 @@ class XlaBackend:
             rows.reshape(self.lanes, k, *rows.shape[1:]), 1, 0)
 
         def step(acc, q):
+            if mixed:
+                Q = (q[..., 0, :, :], q[..., 1, :, :])
+            else:
+                Q = self._pt(q)
             R = (_pmadd if mixed else _padd)(
-                self.F, self._pt(acc), self._pt(q), self.complete)
+                self.F, self._pt(acc), Q, self.complete)
             nacc = self._rows(R)
             return nacc, nacc
 
-        init = jnp.zeros_like(resh[0])
+        init = jnp.zeros(resh.shape[1:2] + (3,) + resh.shape[3:],
+                         jnp.uint32)
         _, pref = jax.lax.scan(step, init, resh)
-        return jnp.moveaxis(pref, 0, 1).reshape(rows.shape)
+        return jnp.moveaxis(pref, 0, 1).reshape(
+            (rows.shape[0], 3) + rows.shape[2:])
 
     def addn(self, a, b):
         return self._rows(_padd(self.F, self._pt(a), self._pt(b),
@@ -708,6 +743,22 @@ def signed_digits(limbs, c: int):
 # --------------------------------------------------------------------------
 
 
+@functools.lru_cache(maxsize=None)
+def _safe_point(ncomp: int):
+    """A valid curve point substituted for identity inputs (their digits
+    are zeroed, so it never contributes): the G1 / G2 generator, as
+    (2, ncomp, NLIMB) Montgomery limbs."""
+    from tpu_zkpool.fields import bn254
+    if ncomp == 1:
+        xy = [[bn254.G1_GX], [bn254.G1_GY]]
+    else:
+        from tpu_zkpool.refimpl import pairing_ref as pr
+        (x0, x1), (y0, y1) = pr.G2_GEN
+        xy = [[x0, x1], [y0, y1]]
+    return np.asarray(FP.to_mont(np.asarray(xy, dtype=object)),
+                      dtype=np.uint32)
+
+
 def _reduction_shape(half: int):
     L = min(128, half)
     C = half // L
@@ -736,14 +787,24 @@ def window_sums(rows, scalar_limbs, c, be):
     C, L = _reduction_shape(half)
 
     bucket, neg = signed_digits(scalar_limbs, c)
+    # identity inputs (Z = 0) contribute nothing: zero their digits so they
+    # land in the never-read bucket 0, and substitute a valid curve point
+    # for their (meaningless) coordinates so the prefix scan stays inside
+    # the group. The mixed-add kernel then needs no Z plane at all — the
+    # per-window gather moves 2 coordinates instead of 3.
+    valid = jnp.any(rows[:, 2].reshape(rows.shape[0], -1) != 0, axis=-1)
+    bucket = jnp.where(valid[:, None], bucket, 0)
+    neg = neg & valid[:, None]
+    safe = jnp.asarray(_safe_point(ncomp))         # (2, ncomp, NLIMB)
+    xy = jnp.where(valid[:, None, None, None], rows[:, :2], safe)
+    xy_neg = xy.at[:, 1].set(jnp.asarray(FP.neg(xy[:, 1])))
     orders = jnp.argsort(bucket, axis=0)          # (N, W)
-    rows_negv = rows_neg_y(rows)
 
     nq = half + 2                                  # boundary queries 0..half+1
 
     def per_window(_, xs):
         order, negw, bcol = xs
-        r = jnp.where(negw[:, None, None, None], rows_negv, rows)
+        r = jnp.where(negw[:, None, None, None], xy_neg, xy)
         rs = jnp.take(r, order, axis=0)
         ds = jnp.take(bcol, order, axis=0)
         starts = jnp.searchsorted(ds, jnp.arange(nq, dtype=bcol.dtype),
