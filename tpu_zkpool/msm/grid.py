@@ -519,11 +519,11 @@ def _horner_tiles(tiles, c, complete, interpret=False):
 
 
 def _rows_to_lane_tiles(rows, lanes=TILE_N):
-    """(n*lanes, 3, ncomp, L) -> (n, 3, ncomp, L, nt, 8, 128)."""
+    """(n*lanes, C, ncomp, L) -> (n, C, ncomp, L, nt, 8, 128)."""
     n = rows.shape[0] // lanes
-    _, ncomp, L = rows.shape[1:]
+    C, ncomp, L = rows.shape[1:]
     nt = lanes // TILE_N
-    return rows.reshape(n, nt, 8, 128, 3, ncomp, L).transpose(
+    return rows.reshape(n, nt, 8, 128, C, ncomp, L).transpose(
         0, 4, 5, 6, 1, 2, 3)
 
 
@@ -535,17 +535,17 @@ def _lane_tiles_to_rows(tiles):
 
 def _sorted_to_scan_tiles(rows, k, lanes=TILE_N):
     """Chunk-contiguous layout: row i -> (step i % k, lane i // k)."""
-    _, ncomp, L = rows.shape[1:]
+    C, ncomp, L = rows.shape[1:]
     nt = lanes // TILE_N
-    return rows.reshape(lanes, k, 3, ncomp, L).transpose(
-        1, 2, 3, 4, 0).reshape(k, 3, ncomp, L, nt, 8, 128)
+    return rows.reshape(lanes, k, C, ncomp, L).transpose(
+        1, 2, 3, 4, 0).reshape(k, C, ncomp, L, nt, 8, 128)
 
 
 def _scan_tiles_to_sorted(tiles):
-    k, _, ncomp, L, nt = tiles.shape[:5]
+    k, C, ncomp, L, nt = tiles.shape[:5]
     lanes = nt * TILE_N
-    return tiles.reshape(k, 3, ncomp, L, lanes).transpose(
-        4, 0, 1, 2, 3).reshape(lanes * k, 3, ncomp, L)
+    return tiles.reshape(k, C, ncomp, L, lanes).transpose(
+        4, 0, 1, 2, 3).reshape(lanes * k, C, ncomp, L)
 
 
 def _pad_rows(rows, lanes):
