@@ -68,3 +68,21 @@ def test_fixed_base_gadget_in_builder():
     fx, fy = _aff_dbl((vectors.OWNER_X, vectors.OWNER_Y))
     wbad = b.witness({v_x: fx, v_y: fy, v_sk: vectors.SECRET_KEY})
     assert not r1cs.is_satisfied(wbad)
+
+
+def test_gadget_tables_and_sqrt():
+    """Fixed-base gadget internals: Tonelli-Shanks square root, the
+    generator power table, and the unknown-DL offset point are on-curve."""
+    from tpu_zkpool.groth16 import gadgets as g
+    from tpu_zkpool.fields.bn254 import (
+        FR_MOD, EMBEDDED_B, EMBEDDED_GX, EMBEDDED_GY)
+
+    assert g._sqrt_mod_r(4) in (2, FR_MOD - 2)
+    assert g._sqrt_mod_r(5) is None or pow(g._sqrt_mod_r(5), 2, FR_MOD) == 5
+    pows, S = g._tables()
+    assert pows[0] == (EMBEDDED_GX, EMBEDDED_GY)
+    for pt in (pows[1], pows[255], S):
+        x, y = pt
+        assert (y * y - (x ** 3 + EMBEDDED_B)) % FR_MOD == 0
+    # 2^i G chain consistency
+    assert g._aff_dbl(pows[10]) == pows[11]

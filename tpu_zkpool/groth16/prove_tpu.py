@@ -75,9 +75,11 @@ class DeviceProvingKey:
     """Device-resident query points (G1 and G2) + the host pk."""
 
     def __init__(self, pk: g16.ProvingKey, c: int = 13,
-                 backend: str = "pallas", complete: bool = False):
-        # complete=False: prover-mode incomplete adds (grid._finish) — an
-        # invalid MSM only invalidates the prover's own proof.
+                 backend: str = "pallas", complete: bool = True):
+        # complete=False (prover mode, grid._finish) drops the doubling
+        # branch: safe for large pseudorandom query sets (collision
+        # probability ~2^-254 per add) but NOT for tiny/structured circuits
+        # where duplicate query points are common — default to complete.
         self.pk = pk
         self.c = c
         self.backend = backend
