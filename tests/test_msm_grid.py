@@ -131,7 +131,13 @@ def test_msm_grid_full_xla():
     pts = (rows[:, 0, 0], rows[:, 1, 0], rows[:, 2, 0])
     limbs = np.zeros((n, NLIMB), np.uint32)
     limbs[:real] = ints_to_limbs(ks)
-    X, Y, Z = mg.msm_grid_g1(pts, jnp.asarray(limbs), c=13, backend="xla")
+    # complete=False exercises the prover-mode prefix together with the
+    # structurally-complete reduction stages: at n=1024 with 4096 buckets
+    # most buckets are EMPTY, which forces the tot==acc doubling events in
+    # wsum that incomplete adds must never see (regression for the round-2
+    # G2 bug).
+    X, Y, Z = mg.msm_grid_g1(pts, jnp.asarray(limbs), c=13, backend="xla",
+                             complete=False)
     got = _row_to_affine(np.stack([np.asarray(X)[None], np.asarray(Y)[None],
                                    np.asarray(Z)[None]]))
     exp = native_bridge.g1_msm(ks, aff)

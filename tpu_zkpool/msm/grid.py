@@ -571,8 +571,11 @@ class PallasBackend:
 
     ``lanes`` = chunk count per prefix scan = nt * 1024 register-tile
     lanes per grid step (wider = fewer serial steps, better latency
-    hiding; VMEM caps nt around 4-8). ``complete=False`` is prover mode
-    (see _finish)."""
+    hiding; VMEM caps nt around 4-8). ``complete=False`` (prover mode,
+    see _finish) applies ONLY to the mixed prefix scan over input points:
+    the bucket-reduction/Horner stages hit STRUCTURAL doubling cases
+    (empty buckets make the running sum meet its own accumulator, e.g.
+    tot == acc in wsum) and always use complete adds."""
 
     def __init__(self, interpret=False, lanes=TILE_N, complete=True):
         assert lanes % TILE_N == 0
@@ -582,10 +585,12 @@ class PallasBackend:
 
     def prefix(self, rows, k, mixed):
         """rows (lanes*k, C, nc, L) chunk-contiguous (C = 2 affine for the
-        mixed path, 3 Jacobian otherwise) -> inclusive Jacobian prefixes."""
+        mixed path, 3 Jacobian otherwise) -> inclusive Jacobian prefixes.
+        Only the mixed (input-point) scan may use incomplete adds."""
         tiles = _sorted_to_scan_tiles(rows, k, self.lanes)
+        complete = self.complete if mixed else True
         return _scan_tiles_to_sorted(
-            _prefix_tiles(tiles, mixed, self.complete, self.interpret))
+            _prefix_tiles(tiles, mixed, complete, self.interpret))
 
     def addn(self, a, b):
         n = a.shape[0]
@@ -593,7 +598,7 @@ class PallasBackend:
         out = _add_tiles(
             _rows_to_lane_tiles(_pad_rows(a, lanes), self.lanes),
             _rows_to_lane_tiles(_pad_rows(b, lanes), self.lanes),
-            self.complete, self.interpret)
+            True, self.interpret)
         return _lane_tiles_to_rows(out)[:n]
 
     def wsum(self, B):
@@ -607,7 +612,7 @@ class PallasBackend:
                         ((0, 0), (0, self.lanes - nl)) + ((0, 0),) * 3)
         tiles = steps.reshape(L, nt, 8, 128, 3, ncomp, NLIMB).transpose(
             0, 4, 5, 6, 1, 2, 3)
-        out = _wsum_tiles(tiles, self.complete, self.interpret)
+        out = _wsum_tiles(tiles, True, self.interpret)
         return (_tile_to_lane_rows(out[0], nl),
                 _tile_to_lane_rows(out[1], nl))
 
@@ -616,7 +621,7 @@ class PallasBackend:
         n = a.shape[0]
         ta = _rows_to_lane_tiles(_pad_rows(a, self.lanes), self.lanes)[0]
         tb = _rows_to_lane_tiles(_pad_rows(b, self.lanes), self.lanes)[0]
-        out = _scale_add_tile(ta, tb, log2s, self.complete, self.interpret)
+        out = _scale_add_tile(ta, tb, log2s, True, self.interpret)
         return _tile_to_lane_rows(out, n)
 
     def horner(self, S, c):
@@ -624,7 +629,7 @@ class PallasBackend:
         nt = self.lanes // TILE_N
         h_in = jnp.broadcast_to(
             S[::-1][:, :, :, :, None, None, None], S.shape + (nt,) + TILE)
-        out = _horner_tiles(h_in, c, self.complete, self.interpret)
+        out = _horner_tiles(h_in, c, True, self.interpret)
         return _tile_to_lane_rows(out, 1)[0]
 
 
@@ -649,13 +654,15 @@ class XlaBackend:
         resh = jnp.moveaxis(
             rows.reshape(self.lanes, k, *rows.shape[1:]), 1, 0)
 
+        complete = self.complete if mixed else True
+
         def step(acc, q):
             if mixed:
                 Q = (q[..., 0, :, :], q[..., 1, :, :])
             else:
                 Q = self._pt(q)
             R = (_pmadd if mixed else _padd)(
-                self.F, self._pt(acc), Q, self.complete)
+                self.F, self._pt(acc), Q, complete)
             nacc = self._rows(R)
             return nacc, nacc
 
@@ -666,18 +673,15 @@ class XlaBackend:
             (rows.shape[0], 3) + rows.shape[2:])
 
     def addn(self, a, b):
-        return self._rows(_padd(self.F, self._pt(a), self._pt(b),
-                                self.complete))
+        return self._rows(_padd(self.F, self._pt(a), self._pt(b)))
 
     def wsum(self, B):
         steps = jnp.moveaxis(B, 1, 0)[::-1]
 
         def step(carry, q):
             acc, tot = carry
-            acc = self._rows(_padd(self.F, self._pt(acc), self._pt(q),
-                                   self.complete))
-            tot = self._rows(_padd(self.F, self._pt(tot), self._pt(acc),
-                                   self.complete))
+            acc = self._rows(_padd(self.F, self._pt(acc), self._pt(q)))
+            tot = self._rows(_padd(self.F, self._pt(tot), self._pt(acc)))
             return (acc, tot), None
 
         z = jnp.zeros_like(steps[0])
