@@ -53,3 +53,25 @@ def test_g1_ops_match_pairing_ref():
     P = jax.jit(C.scalar_mul)(bits, Gp)
     xs, ys = C.to_affine_ints(P)
     assert (int(xs[0]), int(ys[0])) == exp
+
+
+def test_fixed_base_windowed_table():
+    """Windowed fixed-base scalar mul vs the committed identity vector and
+    the generic double-and-add path (noir fixed_base_scalar_mul analogue)."""
+    import numpy as np
+    import jax.numpy as jnp
+    import vectors
+    from tpu_zkpool.curve.fixed_base import embedded_generator_table
+    from tpu_zkpool.curve.weierstrass import EMBEDDED
+
+    tbl = embedded_generator_table(c=8)
+    ks = [vectors.SECRET_KEY, 1, 2, 12345, (1 << 128) - 1]
+    X, Y, Z = tbl.mul_ints(ks)
+    xs, ys = EMBEDDED.to_affine_ints((X, Y, Z))
+    assert int(np.asarray(xs)[0]) == vectors.OWNER_X
+    assert int(np.asarray(ys)[0]) == vectors.OWNER_Y
+    assert int(np.asarray(xs)[1]) == EMBEDDED.gen[0]
+    # cross-check one more against the host reference
+    from tpu_zkpool.refimpl import curve_ref
+    exp = curve_ref.scalar_mul(12345)
+    assert (int(np.asarray(xs)[3]), int(np.asarray(ys)[3])) == exp
