@@ -91,3 +91,17 @@ def test_address_table():
     packed = alt.compress(names)
     assert len(packed) == 3
     assert alt.expand(packed) == [addrs[n] for n in names]
+
+
+def test_metrics_registry():
+    from tpu_zkpool.utils.metrics import Metrics
+    m = Metrics()
+    m.incr("x")
+    m.incr("x", 2)
+    with m.timer("t"):
+        pass
+    snap = m.snapshot()
+    assert snap["counters"]["x"] == 3
+    assert snap["timings"]["t"]["count"] == 1
+    m.reset()
+    assert m.snapshot() == {"counters": {}, "timings": {}}

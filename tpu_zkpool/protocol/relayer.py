@@ -12,6 +12,7 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 
 from tpu_zkpool.protocol.state import Pool, PoolError
+from tpu_zkpool.utils.metrics import DEFAULT as METRICS
 
 LOW_BALANCE_THRESHOLD = 10_000_000
 
@@ -35,6 +36,7 @@ class Relayer:
         return {
             "balance": self.balance_lamports,
             "low_balance": self.balance_lamports < LOW_BALANCE_THRESHOLD,
+            "metrics": METRICS.snapshot(),
         }
 
     def relay_withdraw(self, withdraw_proof: bytes, withdraw_witness: bytes,
@@ -43,6 +45,7 @@ class Relayer:
         (withdraw/route.ts:238-295)."""
         wa = int.from_bytes(audit_witness[12:44], "big")
         audit_new = wa not in self.pool.audit_records
+        METRICS.incr("relayer.withdraw_requests")
         try:
             self.pool.submit_audit(audit_proof, audit_witness)
         except PoolError as e:
@@ -51,6 +54,10 @@ class Relayer:
             if audit_new:
                 raise
             self.log.append(f"audit tx tolerated failure: {e}")
-        recipient, amount = self.pool.withdraw(withdraw_proof, withdraw_witness)
+        with METRICS.timer("relayer.withdraw_s"):
+            recipient, amount = self.pool.withdraw(withdraw_proof,
+                                                   withdraw_witness)
+        METRICS.incr("relayer.withdrawals")
+        METRICS.incr("relayer.lamports_out", amount)
         self.log.append(f"withdrew {amount} to {recipient.hex()[:16]}")
         return RelayResult(wa, recipient, amount, audit_new)
