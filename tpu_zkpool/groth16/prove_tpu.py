@@ -92,16 +92,18 @@ class DeviceProvingKey:
 
     # ---------------------------------------------------------------- MSMs
 
-    def _msm_g1(self, points_dev, npad, scalars: list):
-        out = msm_grid_g1(points_dev, _scalar_limbs(scalars, npad),
-                          c=self.c, backend=self.backend,
-                          complete=self.complete)
+    def _msm_g1(self, points_dev, npad, scalars):
+        limbs = (scalars if isinstance(scalars, jnp.ndarray)
+                 else _scalar_limbs(scalars, npad))
+        out = msm_grid_g1(points_dev, limbs[:npad], c=self.c,
+                          backend=self.backend, complete=self.complete)
         xs, ys = _g1_affine(out)
         return None if xs == 0 and ys == 0 else (xs, ys)
 
-    def _msm_g2(self, scalars: list):
-        X, Y, Z = msm_grid_g2(self.b2_query,
-                              _scalar_limbs(scalars, self._nb2),
+    def _msm_g2(self, scalars):
+        limbs = (scalars if isinstance(scalars, jnp.ndarray)
+                 else _scalar_limbs(scalars, self._nb2))
+        X, Y, Z = msm_grid_g2(self.b2_query, limbs[: self._nb2],
                               c=self.c, backend=self.backend,
                               complete=self.complete)
         return _g2_affine((X, Y, Z))
@@ -177,15 +179,19 @@ def prove(dpk: DeviceProvingKey, r1cs, w_full: list, seed: int = 7):
     r_rand, s_rand = rng.randrange(R), rng.randrange(R)
     n = pk.n_domain
 
-    A = dpk._msm_g1(dpk.a_query, dpk._na, w_full)
+    # convert the witness to limbs ONCE for the A/B1/B2 legs
+    nmax = max(dpk._na, dpk._nb2)
+    w_limbs = _scalar_limbs(w_full, nmax)
+
+    A = dpk._msm_g1(dpk.a_query, dpk._na, w_limbs)
     A = pr.g1_add(pk.alpha1, A)
     A = pr.g1_add(A, pr.g1_mul(r_rand, pk.delta1) if r_rand else None)
 
-    B1 = dpk._msm_g1(dpk.b1_query, dpk._na, w_full)
+    B1 = dpk._msm_g1(dpk.b1_query, dpk._na, w_limbs)
     B1 = pr.g1_add(pk.beta1, B1)
     B1 = pr.g1_add(B1, pr.g1_mul(s_rand, pk.delta1) if s_rand else None)
 
-    B2 = dpk._msm_g2(w_full)
+    B2 = dpk._msm_g2(w_limbs)
     B2 = pr.g2_add(pk.beta2, B2)
     B2 = pr.g2_add(B2, pr.g2_mul(s_rand, pk.delta2) if s_rand else None)
 
