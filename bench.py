@@ -152,6 +152,8 @@ def bench_verify_batch(B=4):
     ok = verify_tpu.verify_batch(vk, proofs, pubs)
     assert ok.all()
     warm = time.time() - t0
+    if warm > 60:          # don't pay a second slow pass; report the warm one
+        return B / warm
     t0 = time.time()
     ok = verify_tpu.verify_batch(vk, proofs, pubs)
     dt = time.time() - t0

@@ -33,3 +33,15 @@ def test_bilinearity(e1):
 def test_fp12_inverse():
     f = pr.miller_loop(G1, G2)
     assert pr.f12_mul(f, pr.f12_inv(f)) == pr.F12_ONE
+
+
+def test_final_exponentiation_fast():
+    """Cyclotomic-chain final exp == naive (p^12-1)/r power, plus the
+    building blocks (Frobenius, GS squaring, x-power) individually."""
+    f = pr.miller_loop(G1, G2)
+    assert pr.f12_frobenius(f, 1) == pr.f12_pow(f, pr.P)
+    m = pr.f12_mul(pr.f12_conj(f), pr.f12_inv(f))
+    m = pr.f12_mul(pr.f12_frobenius(m, 2), m)
+    assert pr.f12_cyclotomic_sqr(m) == pr.f12_sqr(m)
+    assert pr.f12_pow_x_cyclo(m) == pr.f12_pow(m, pr.BN_X)
+    assert pr.final_exponentiation_fast(f) == pr.final_exponentiation(f)

