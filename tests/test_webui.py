@@ -1,0 +1,78 @@
+"""Demo web UI (C26): full user journey through the real HTTP stack.
+
+Covers the reference card's surfaces (deposit -> relayed withdraw ->
+double-spend rejection -> auditor decrypt -> history tables;
+``demo-frontend/app/components/shielded-pool-card.tsx``) against
+``tpu_zkpool.webui`` with the stub prover.
+"""
+
+import json
+import threading
+import urllib.request
+
+import pytest
+
+from tpu_zkpool.webui import DemoApp, make_server
+
+
+@pytest.fixture(scope="module")
+def server(tmp_path_factory):
+    store = tmp_path_factory.mktemp("webui") / "store.json"
+    app = DemoApp(store_path=str(store), fresh=True)
+    srv = make_server(app, port=0)   # ephemeral port
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{srv.server_address[1]}"
+    srv.shutdown()
+
+
+def call(base, method, path, body=None):
+    req = urllib.request.Request(
+        base + path, method=method,
+        data=json.dumps(body).encode() if body is not None else None,
+        headers={"Content-Type": "application/json"})
+    try:
+        with urllib.request.urlopen(req) as r:
+            return r.status, json.loads(r.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+def test_full_journey(server):
+    # landing page served
+    with urllib.request.urlopen(server + "/") as r:
+        assert r.status == 200 and b"shielded pool" in r.read()
+
+    st = call(server, "GET", "/api/status")[1]
+    assert st["leaves"] == 0 and st["prover"] == "stub"
+
+    code, dep = call(server, "POST", "/api/deposit", {"amount": 5_000_000})
+    assert code == 200 and dep["leaf_index"] == 0
+    assert dep["ct_commitment"] is not None
+
+    st = call(server, "GET", "/api/status")[1]
+    assert st["leaves"] == 1 and st["root_age"] == 0
+
+    rcpt = "07" * 32
+    code, wd = call(server, "POST", "/api/withdraw",
+                    {"commitment": dep["commitment"], "recipient": rcpt})
+    assert code == 200 and wd["amount"] == 5_000_000
+    # recipient comes back in the reference's on-chain encoding:
+    # [0,0] ++ pubkey[0..30] (withdraw.rs:149-154)
+    assert wd["recipient"] == "0000" + rcpt[:60] and wd["audit_was_new"]
+
+    # double spend -> typed error with recovery hint (C24)
+    code, err = call(server, "POST", "/api/withdraw",
+                     {"commitment": dep["commitment"], "recipient": rcpt})
+    assert code == 400 and "error" in err
+
+    code, dec = call(server, "POST", "/api/decrypt",
+                     {"commitment": dep["commitment"]})
+    assert code == 200 and dec["matches_deposit"]
+
+    deps = call(server, "GET", "/api/deposits")[1]["deposits"]
+    assert len(deps) == 1 and deps[0]["status"] == "withdrawn"
+    audits = call(server, "GET", "/api/audits")[1]["audits"]
+    assert len(audits) == 1
+
+    assert call(server, "GET", "/api/nope")[0] == 404
