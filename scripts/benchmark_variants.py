@@ -8,9 +8,13 @@ constraint counts and per-stage timings to ``benchmark_variants.json``.
 The reference never committed its results file; we commit ours.
 
 Usage: python scripts/benchmark_variants.py [--full] [--variants a,b,...]
-  --full  also run setup/prove/verify for the ~1M-constraint var_pk
-          variants (tens of minutes); otherwise they record build/witness
-          times and counts only.
+  --full    also run setup/prove/verify for the ~1M-constraint var_pk
+            variants (tens of minutes); otherwise they record build/witness
+            times and counts only.
+  --device  prove through the TPU device prover (grid MSMs + NTT on chip,
+            prove_tpu) instead of the host prover; implies the full
+            pipeline for every selected variant. The reference's prover
+            for these circuits is gnark on CPU (sunspot prove).
 """
 import argparse
 import json
@@ -22,7 +26,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 
-jax.config.update("jax_platforms", "cpu")
+if "--device" not in sys.argv:
+    jax.config.update("jax_platforms", "cpu")
+else:
+    from tpu_zkpool.utils import enable_compile_cache
+    enable_compile_cache()
 
 VARIANTS = ["const_pk_e_witness", "const_pk_e_computed",
             "var_pk_e_witness", "var_pk_e_computed"]
@@ -31,6 +39,7 @@ VARIANTS = ["const_pk_e_witness", "const_pk_e_computed",
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--full", action="store_true")
+    ap.add_argument("--device", action="store_true")
     ap.add_argument("--variants", default=",".join(VARIANTS))
     ap.add_argument("--out", default=os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
@@ -81,19 +90,31 @@ def main():
               flush=True)
 
         heavy = variant.startswith("var_pk")
-        if args.full or not heavy:
+        if args.full or args.device or not heavy:
             t0 = time.time()
             pkg, vkg = cached_setup(r1cs, verbose=True)
             rec["setup_s"] = round(time.time() - t0, 1)
-            t0 = time.time()
-            proof = g16.prove(pkg, r1cs, w)
-            rec["prove_s"] = round(time.time() - t0, 1)
+            if args.device:
+                from tpu_zkpool.groth16 import prove_tpu
+                t0 = time.time()
+                dpk = prove_tpu.DeviceProvingKey(pkg, backend="pallas")
+                rec["device_pk_upload_s"] = round(time.time() - t0, 1)
+                t0 = time.time()
+                proof = prove_tpu.prove(dpk, r1cs, w)
+                rec["prove_device_cold_s"] = round(time.time() - t0, 1)
+                t0 = time.time()
+                proof = prove_tpu.prove(dpk, r1cs, w, seed=11)
+                rec["prove_device_warm_s"] = round(time.time() - t0, 1)
+                rec["prover"] = "tpu_grid"
+            else:
+                t0 = time.time()
+                proof = g16.prove(pkg, r1cs, w)
+                rec["prove_s"] = round(time.time() - t0, 1)
             t0 = time.time()
             ok = g16.verify(vkg, proof, [wa, ct])
             rec["verify_s"] = round(time.time() - t0, 1)
             assert ok
-            print(f"  setup {rec['setup_s']}s prove {rec['prove_s']}s "
-                  f"verify {rec['verify_s']}s", flush=True)
+            print(f"  {json.dumps(rec)}", flush=True)
         else:
             rec["pipeline"] = "skipped (use --full)"
         results[variant] = rec
@@ -101,6 +122,15 @@ def main():
     payload = {"harness": "scripts/benchmark_variants.py",
                "reference": "scripts/benchmark_all.py:331-572",
                "results": results}
+    if os.path.exists(args.out):   # merge partial runs (e.g. --device on
+        try:                       # one variant) into the committed file
+            old = json.load(open(args.out))
+            merged = old.get("results", {})
+            for k, v in results.items():
+                merged.setdefault(k, {}).update(v)
+            payload["results"] = merged
+        except Exception:
+            pass
     with open(args.out, "w") as f:
         json.dump(payload, f, indent=1)
     print(json.dumps(results, indent=1))
