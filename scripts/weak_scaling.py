@@ -27,6 +27,9 @@ import jax
 if os.environ.get("WS_TPU") != "1":
     jax.config.update("jax_platforms", "cpu")
 
+from tpu_zkpool.utils import enable_compile_cache
+enable_compile_cache()
+
 import jax.numpy as jnp
 import numpy as np
 

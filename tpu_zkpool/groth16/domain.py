@@ -52,13 +52,32 @@ def _tables(n: int):
     return fwd, inv, ninv_m, coset, coset_inv
 
 
-def forward(x: jnp.ndarray) -> jnp.ndarray:
+@functools.lru_cache(maxsize=None)
+def tables_device(n: int):
+    """All NTT/coset tables as device-resident arrays, to be passed as jit
+    ARGUMENTS: baking them into the graph as trace-time constants puts
+    ~0.5 GB of literals in a 2^21-domain HLO (sum of twiddles ~ n*16*u32
+    per direction + two full coset tables), which broke the remote-compile
+    transport outright and bloats every compile. Returns
+    (fwd_tws, inv_tws, ninv, coset, coset_inv, bitrev)."""
+    fwd, inv, ninv_m, coset, coset_inv = _tables(n)
+    put = jax.device_put
+    return (tuple(put(jnp.asarray(t)) for t in fwd),
+            tuple(put(jnp.asarray(t)) for t in inv),
+            put(jnp.asarray(ninv_m)),
+            put(jnp.asarray(coset)),
+            put(jnp.asarray(coset_inv)),
+            put(jnp.asarray(bitrev_perm(n))))
+
+
+def forward(x: jnp.ndarray, tws=None) -> jnp.ndarray:
     """DIF NTT along axis -2 of uint32[..., n, 16] Montgomery values
     (natural order in, bit-reversed out)."""
     n = x.shape[-2]
-    fwd, _, _, _, _ = _tables(n)
+    if tws is None:
+        tws = _tables(n)[0]
     y = x
-    for tw in fwd:
+    for tw in tws:
         h = tw.shape[0]
         blocks = y.reshape(y.shape[:-2] + (n // (2 * h), 2 * h, 16))
         u = blocks[..., :h, :]
@@ -69,11 +88,13 @@ def forward(x: jnp.ndarray) -> jnp.ndarray:
     return y
 
 
-def inverse(y: jnp.ndarray) -> jnp.ndarray:
+def inverse(y: jnp.ndarray, tws=None, ninv=None) -> jnp.ndarray:
     n = y.shape[-2]
-    _, inv, ninv_m, _, _ = _tables(n)
+    if tws is None:
+        _, tws, ninv, _, _ = _tables(n)
+    ninv_m = ninv
     x = y
-    for tw in inv:
+    for tw in tws:
         h = tw.shape[0]
         blocks = x.reshape(x.shape[:-2] + (n // (2 * h), 2 * h, 16))
         u = blocks[..., :h, :]
@@ -92,7 +113,8 @@ def bitrev_perm(n: int) -> np.ndarray:
     return out
 
 
-def interpolate_natural(evals: jnp.ndarray) -> jnp.ndarray:
+def interpolate_natural(evals: jnp.ndarray, br=None, tws=None,
+                        ninv=None) -> jnp.ndarray:
     """Natural-order domain evaluations -> coefficients.
 
     ``inverse`` consumes the bit-reversed layout that ``forward`` produces;
@@ -100,17 +122,22 @@ def interpolate_natural(evals: jnp.ndarray) -> jnp.ndarray:
     gather first.
     """
     n = evals.shape[-2]
-    return inverse(evals[..., jnp.asarray(bitrev_perm(n)), :])
+    if br is None:
+        br = jnp.asarray(bitrev_perm(n))
+    return inverse(evals[..., br, :], tws, ninv)
 
 
-def coset_forward(coeffs: jnp.ndarray) -> jnp.ndarray:
+def coset_forward(coeffs: jnp.ndarray, coset=None, tws=None) -> jnp.ndarray:
     """Evaluate a coefficient vector on the coset g*omega^i (BR order)."""
     n = coeffs.shape[-2]
-    _, _, _, coset, _ = _tables(n)
-    return forward(FR.mont_mul(coeffs, jnp.asarray(coset)))
+    if coset is None:
+        coset = jnp.asarray(_tables(n)[3])
+    return forward(FR.mont_mul(coeffs, coset), tws)
 
 
-def coset_inverse(evals: jnp.ndarray) -> jnp.ndarray:
+def coset_inverse(evals: jnp.ndarray, coset_inv=None, tws=None,
+                  ninv=None) -> jnp.ndarray:
     n = evals.shape[-2]
-    _, _, _, _, coset_inv = _tables(n)
-    return FR.mont_mul(inverse(evals), jnp.asarray(coset_inv))
+    if coset_inv is None:
+        coset_inv = jnp.asarray(_tables(n)[4])
+    return FR.mont_mul(inverse(evals, tws, ninv), coset_inv)

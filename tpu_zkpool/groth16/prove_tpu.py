@@ -152,19 +152,23 @@ def _g2_affine(out):
     return (x, y)
 
 
-@functools.partial(jax.jit, static_argnums=(2,))
-def _h_pipeline(evs, tinv, demont):
+@functools.partial(jax.jit, static_argnums=(3,))
+def _h_pipeline(evs, tinv, tables, demont):
     """Module-level jit (compiles ONCE per domain size — a closure-local
     jit would silently recompile on every prove call, ~80 s each through
-    the tunnel). Montgomery bookkeeping: evs hold x*R; NTT stages preserve
+    the tunnel). The NTT/coset ``tables`` ride in as device-resident
+    ARGUMENTS (domain.tables_device) — baked-in constants put ~0.5 GB of
+    literals in the 2^21-domain HLO and broke the remote-compile
+    transport. Montgomery bookkeeping: evs hold x*R; NTT stages preserve
     that; mont_mul(U*R, V*R) = U*V*R, so every intermediate stays in the
     Montgomery domain exactly."""
-    coeffs = domain.interpolate_natural(evs)
-    on_coset = domain.coset_forward(coeffs)
+    fwd_tws, inv_tws, ninv, coset, coset_inv, br = tables
+    coeffs = domain.interpolate_natural(evs, br, inv_tws, ninv)
+    on_coset = domain.coset_forward(coeffs, coset, fwd_tws)
     uv = FR.mont_mul(on_coset[0], on_coset[1])
     numer = FR.sub(uv, on_coset[2])
     h_ev = FR.mont_mul(numer, tinv)
-    h_m = domain.coset_inverse(h_ev)
+    h_m = domain.coset_inverse(h_ev, coset_inv, inv_tws, ninv)
     if demont:
         # mont_mul(h*R, 1) = h: canonical plain limbs, MSM-ready.
         one = jnp.broadcast_to(jnp.asarray(int_to_limbs(1)), h_m.shape)
@@ -189,7 +193,7 @@ def compute_h_device(r1cs, w_full: list, n: int, as_limbs: bool = False):
     t_coset_inv = pow(pow(domain.COSET_G, n, R) - 1, -1, R)
     tinv_m = jnp.asarray(FR.to_mont(np.asarray([t_coset_inv], dtype=object))[0])
 
-    h_m = _h_pipeline(dev, tinv_m, as_limbs)
+    h_m = _h_pipeline(dev, tinv_m, domain.tables_device(n), as_limbs)
     if as_limbs:
         return h_m
     return [int(v) for v in FR.from_mont(np.asarray(h_m))]

@@ -19,6 +19,8 @@ the coefficient axis.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -38,12 +40,7 @@ def _local_slices(n: int, D: int):
     return (twist.reshape(D, S), untwist.reshape(D, S), fwd, inv)
 
 
-def forward_sharded(x, mesh, axis: str = "sp"):
-    """Negacyclic forward NTT with the last axis sharded over ``axis``.
-
-    x: uint32[..., n] (< q) sharded on the final axis. Returns the
-    bit-reversed-order spectrum, still sharded.
-    """
+def _forward_traced(x, mesh, axis: str = "sp"):
     n = x.shape[-1]
     D = mesh.shape[axis]
     S = n // D
@@ -88,8 +85,7 @@ def forward_sharded(x, mesh, axis: str = "sp"):
     )(x)
 
 
-def inverse_sharded(y, mesh, axis: str = "sp"):
-    """Inverse of :func:`forward_sharded` (sharded in, sharded out)."""
+def _inverse_traced(y, mesh, axis: str = "sp"):
     n = y.shape[-1]
     D = mesh.shape[axis]
     S = n // D
@@ -133,11 +129,52 @@ def inverse_sharded(y, mesh, axis: str = "sp"):
     )(y)
 
 
+# ---------------------------------------------------------------------------
+# Public entry points: one jitted program per (mesh, axis) — eager shard_map
+# executes the body primitive-by-primitive (thousands of tiny GSPMD
+# compiles none of which persist in the compile cache); jit compiles the
+# whole transform once. jit retraces per input shape as usual.
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=None)
+def _fwd_fn(mesh, axis: str):
+    return jax.jit(lambda x: _forward_traced(x, mesh, axis))
+
+
+@functools.lru_cache(maxsize=None)
+def _inv_fn(mesh, axis: str):
+    return jax.jit(lambda y: _inverse_traced(y, mesh, axis))
+
+
+@functools.lru_cache(maxsize=None)
+def _mul_fn(mesh, axis: str):
+    def run(a, b):
+        fa = _forward_traced(a, mesh, axis)
+        fb = _forward_traced(b, mesh, axis)
+        prod = rlweq.mont_mul(fa, fb)
+        prod = rlweq.mont_mul(prod, jnp.asarray(np.uint32(R2_MOD_Q)))
+        return _inverse_traced(prod, mesh, axis)
+
+    return jax.jit(run)
+
+
+def forward_sharded(x, mesh, axis: str = "sp"):
+    """Negacyclic forward NTT with the last axis sharded over ``axis``.
+
+    x: uint32[..., n] (< q) sharded on the final axis. Returns the
+    bit-reversed-order spectrum, still sharded.
+    """
+    return _fwd_fn(mesh, axis)(x)
+
+
+def inverse_sharded(y, mesh, axis: str = "sp"):
+    """Inverse of :func:`forward_sharded` (sharded in, sharded out)."""
+    return _inv_fn(mesh, axis)(y)
+
+
 def negacyclic_mul_sharded(a, b, mesh, axis: str = "sp"):
     """Sharded negacyclic polynomial product: coefficient axis stays
-    sharded end-to-end (2 log2(D) exchanges per transform)."""
-    fa = forward_sharded(a, mesh, axis)
-    fb = forward_sharded(b, mesh, axis)
-    prod = rlweq.mont_mul(fa, fb)
-    prod = rlweq.mont_mul(prod, jnp.asarray(np.uint32(R2_MOD_Q)))
-    return inverse_sharded(prod, mesh, axis)
+    sharded end-to-end (2 log2(D) exchanges per transform), as ONE
+    jitted program."""
+    return _mul_fn(mesh, axis)(a, b)
