@@ -94,21 +94,30 @@ class DeviceProvingKey:
         self.b2_query, self._nb2 = _points_device_g2(pk.b2_query)
 
     # ---------------------------------------------------------------- MSMs
+    #
+    # Dispatch (device arrays out, async) and fetch (host affine ints) are
+    # separate so ``prove`` can launch every MSM before blocking on any:
+    # each device_get through the tunnel costs a full round trip, and the
+    # five legs are independent until the final host combine.
 
-    def _msm_g1(self, points_dev, npad, scalars):
+    def _msm_g1_dispatch(self, points_dev, npad, scalars):
         limbs = (scalars if isinstance(scalars, jnp.ndarray)
                  else _scalar_limbs(scalars, npad))
-        out = msm_grid_g1(points_dev, limbs[:npad], c=self.c,
-                          backend=self.backend, complete=self.complete)
-        return _g1_affine(out)
+        return msm_grid_g1(points_dev, limbs[:npad], c=self.c,
+                           backend=self.backend, complete=self.complete)
 
-    def _msm_g2(self, scalars):
+    def _msm_g2_dispatch(self, scalars):
         limbs = (scalars if isinstance(scalars, jnp.ndarray)
                  else _scalar_limbs(scalars, self._nb2))
-        X, Y, Z = msm_grid_g2(self.b2_query, limbs[: self._nb2],
-                              c=self.c, backend=self.backend,
-                              complete=self.complete)
-        return _g2_affine((X, Y, Z))
+        return msm_grid_g2(self.b2_query, limbs[: self._nb2],
+                           c=self.c, backend=self.backend,
+                           complete=self.complete)
+
+    def _msm_g1(self, points_dev, npad, scalars):
+        return _g1_affine(self._msm_g1_dispatch(points_dev, npad, scalars))
+
+    def _msm_g2(self, scalars):
+        return _g2_affine(self._msm_g2_dispatch(scalars))
 
 
 def _g1_affine(out):
@@ -219,36 +228,46 @@ def prove(dpk: DeviceProvingKey, r1cs, w_full: list, seed: int = 7):
     w_limbs = _scalar_limbs(w_full, nmax)
     mark("witness->limbs")
 
-    A = dpk._msm_g1(dpk.a_query, dpk._na, w_limbs)
-    mark("msm A")
-    A = pr.g1_add(pk.alpha1, A)
-    A = pr.g1_add(A, pr.g1_mul(r_rand, pk.delta1) if r_rand else None)
-
-    B1 = dpk._msm_g1(dpk.b1_query, dpk._na, w_limbs)
-    mark("msm B1")
-    B1 = pr.g1_add(pk.beta1, B1)
-    B1 = pr.g1_add(B1, pr.g1_mul(s_rand, pk.delta1) if s_rand else None)
-
-    B2 = dpk._msm_g2(w_limbs)
-    mark("msm B2 (G2)")
-    B2 = pr.g2_add(pk.beta2, B2)
-    B2 = pr.g2_add(B2, pr.g2_mul(s_rand, pk.delta2) if s_rand else None)
-
-    # H stays device-resident: plain limbs straight from the NTT pipeline.
+    # ---- dispatch phase: launch all five MSMs (+ the H NTT feeding the
+    # H leg) WITHOUT blocking — execution is async, and the fetch below
+    # pays one tunnel round trip instead of five sequential ones.
+    a_out = dpk._msm_g1_dispatch(dpk.a_query, dpk._na, w_limbs)
+    b1_out = dpk._msm_g1_dispatch(dpk.b1_query, dpk._na, w_limbs)
+    b2_out = dpk._msm_g2_dispatch(w_limbs)
     h_limbs = compute_h_device(r1cs, w_full, n, as_limbs=True)
-    mark("H(X) NTT")
     h_pad = jnp.pad(h_limbs[: n - 1],
                     ((0, dpk._nh - (n - 1)), (0, 0)))
-    HT = dpk._msm_g1(dpk.h_query, dpk._nh, h_pad)
-    mark("msm H")
+    ht_out = dpk._msm_g1_dispatch(dpk.h_query, dpk._nh, h_pad)
     if pk.committed:
         cset = set(pk.committed)
         priv = [w_full[i] for i in range(r1cs.num_public, len(w_full))
                 if i not in cset]
     else:
         priv = w_full[r1cs.num_public:]
-    Kpriv = dpk._msm_g1(dpk.k_query, dpk._nk, priv)
-    mark("msm K")
+    k_out = dpk._msm_g1_dispatch(dpk.k_query, dpk._nk,
+                                 _scalar_limbs(priv, dpk._nk))
+    mark("dispatch (5 MSMs + H NTT)")
+
+    # ---- fetch phase: one device_get for everything.
+    a_out, b1_out, b2_out, ht_out, k_out = jax.device_get(
+        (a_out, b1_out, b2_out, ht_out, k_out))
+    mark("fetch")
+
+    A = _g1_affine(a_out)
+    A = pr.g1_add(pk.alpha1, A)
+    A = pr.g1_add(A, pr.g1_mul(r_rand, pk.delta1) if r_rand else None)
+
+    B1 = _g1_affine(b1_out)
+    B1 = pr.g1_add(pk.beta1, B1)
+    B1 = pr.g1_add(B1, pr.g1_mul(s_rand, pk.delta1) if s_rand else None)
+
+    B2 = _g2_affine(b2_out)
+    B2 = pr.g2_add(pk.beta2, B2)
+    B2 = pr.g2_add(B2, pr.g2_mul(s_rand, pk.delta2) if s_rand else None)
+
+    HT = _g1_affine(ht_out)
+    Kpriv = _g1_affine(k_out)
+    mark("affine conversion")
     C = pr.g1_add(Kpriv, HT)
     C = pr.g1_add(C, pr.g1_mul(s_rand, A) if s_rand else None)
     C = pr.g1_add(C, pr.g1_mul(r_rand, B1) if r_rand else None)
