@@ -16,3 +16,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+# Heavy graphs (full grid MSM, sharded kernels) compile once per machine.
+from tpu_zkpool.utils import enable_compile_cache  # noqa: E402
+
+enable_compile_cache()
