@@ -54,3 +54,13 @@ def test_prove_tpu_tiny_end_to_end():
     proof = prove_tpu.prove(dpk, r1cs, w)
     assert verify(vk, proof, [w[1]])
     assert not verify(vk, proof, [w[1] + 1])
+
+    # batch prover: distinct witnesses, every proof verifies, and proof i
+    # equals prove(w_i, seed=base+i) (same blinding derivation).
+    ws = []
+    for x in (4, 5, 6):
+        ws.append([1, x**3 + x + 5, x, x * x, x**3])
+    proofs = prove_tpu.prove_batch(dpk, r1cs, ws, seed=30)
+    for i, (p, wi) in enumerate(zip(proofs, ws)):
+        assert verify(vk, p, [wi[1]])
+        assert p == prove_tpu.prove(dpk, r1cs, wi, seed=30 + i)

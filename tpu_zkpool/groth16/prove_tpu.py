@@ -208,29 +208,15 @@ def compute_h_device(r1cs, w_full: list, n: int, as_limbs: bool = False):
     return [int(v) for v in FR.from_mont(np.asarray(h_m))]
 
 
-def prove(dpk: DeviceProvingKey, r1cs, w_full: list, seed: int = 7):
-    """Groth16 proof with all four G1 MSMs, the G2 MSM, and H(X) on device.
-    Emits (A, B2, C) or (A, B2, C, Commitment, Pok) matching
-    refimpl.groth16_ref.prove exactly."""
+def _dispatch_legs(dpk: DeviceProvingKey, r1cs, w_full: list):
+    """Launch all five MSMs (+ the H NTT feeding the H leg) WITHOUT
+    blocking — execution is async; fetching after dispatch pays one
+    tunnel round trip instead of five sequential ones. Returns the tuple
+    of device arrays (a, b1, b2, ht, k)."""
     pk = dpk.pk
-    rng = random.Random(seed)
-    r_rand, s_rand = rng.randrange(R), rng.randrange(R)
     n = pk.n_domain
-    prof = os.environ.get("TPUZK_PROVE_PROFILE") == "1"
-    marks = [("start", time.time())]
-
-    def mark(label):
-        if prof:
-            marks.append((label, time.time()))
-
-    # convert the witness to limbs ONCE for the A/B1/B2 legs
     nmax = max(dpk._na, dpk._nb2)
-    w_limbs = _scalar_limbs(w_full, nmax)
-    mark("witness->limbs")
-
-    # ---- dispatch phase: launch all five MSMs (+ the H NTT feeding the
-    # H leg) WITHOUT blocking — execution is async, and the fetch below
-    # pays one tunnel round trip instead of five sequential ones.
+    w_limbs = _scalar_limbs(w_full, nmax)   # one conversion for A/B1/B2
     a_out = dpk._msm_g1_dispatch(dpk.a_query, dpk._na, w_limbs)
     b1_out = dpk._msm_g1_dispatch(dpk.b1_query, dpk._na, w_limbs)
     b2_out = dpk._msm_g2_dispatch(w_limbs)
@@ -246,12 +232,44 @@ def prove(dpk: DeviceProvingKey, r1cs, w_full: list, seed: int = 7):
         priv = w_full[r1cs.num_public:]
     k_out = dpk._msm_g1_dispatch(dpk.k_query, dpk._nk,
                                  _scalar_limbs(priv, dpk._nk))
+    return (a_out, b1_out, b2_out, ht_out, k_out)
+
+
+def prove(dpk: DeviceProvingKey, r1cs, w_full: list, seed: int = 7):
+    """Groth16 proof with all four G1 MSMs, the G2 MSM, and H(X) on device.
+    Emits (A, B2, C) or (A, B2, C, Commitment, Pok) matching
+    refimpl.groth16_ref.prove exactly."""
+    pk = dpk.pk
+    rng = random.Random(seed)
+    r_rand, s_rand = rng.randrange(R), rng.randrange(R)
+    prof = os.environ.get("TPUZK_PROVE_PROFILE") == "1"
+    marks = [("start", time.time())]
+
+    def mark(label):
+        if prof:
+            marks.append((label, time.time()))
+
+    legs = _dispatch_legs(dpk, r1cs, w_full)
     mark("dispatch (5 MSMs + H NTT)")
 
     # ---- fetch phase: one device_get for everything.
-    a_out, b1_out, b2_out, ht_out, k_out = jax.device_get(
-        (a_out, b1_out, b2_out, ht_out, k_out))
+    a_out, b1_out, b2_out, ht_out, k_out = jax.device_get(legs)
     mark("fetch")
+
+    proof = _finish_proof(dpk, (a_out, b1_out, b2_out, ht_out, k_out),
+                          r_rand, s_rand, w_full)
+    mark("combine + affine")
+    if prof:
+        for (_, t0), (label, t1) in zip(marks, marks[1:]):
+            print(f"  [prove] {label}: {t1 - t0:.3f}s", flush=True)
+    return proof
+
+
+def _finish_proof(dpk: DeviceProvingKey, fetched, r_rand: int, s_rand: int,
+                  w_full: list):
+    """Host combine of fetched MSM leg outputs into the final proof."""
+    pk = dpk.pk
+    a_out, b1_out, b2_out, ht_out, k_out = fetched
 
     A = _g1_affine(a_out)
     A = pr.g1_add(pk.alpha1, A)
@@ -267,16 +285,11 @@ def prove(dpk: DeviceProvingKey, r1cs, w_full: list, seed: int = 7):
 
     HT = _g1_affine(ht_out)
     Kpriv = _g1_affine(k_out)
-    mark("affine conversion")
     C = pr.g1_add(Kpriv, HT)
     C = pr.g1_add(C, pr.g1_mul(s_rand, A) if s_rand else None)
     C = pr.g1_add(C, pr.g1_mul(r_rand, B1) if r_rand else None)
     rs = r_rand * s_rand % R
     C = pr.g1_add(C, pr.g1_mul((R - rs) % R, pk.delta1) if rs else None)
-    mark("C combine")
-    if prof:
-        for (_, t0), (label, t1) in zip(marks, marks[1:]):
-            print(f"  [prove] {label}: {t1 - t0:.3f}s", flush=True)
     if pk.committed:
         from tpu_zkpool.refimpl import pedersen
         cm, pok = pedersen.commit(
@@ -284,3 +297,22 @@ def prove(dpk: DeviceProvingKey, r1cs, w_full: list, seed: int = 7):
             [w_full[i] for i in pk.committed])
         return (A, B2, C, cm, pok)
     return (A, B2, C)
+
+
+def prove_batch(dpk: DeviceProvingKey, r1cs, witnesses: list,
+                seed: int = 7):
+    """Batch Groth16 proving: dispatch the legs of EVERY proof before
+    fetching any — the B x 5 MSM executions queue on the device back to
+    back and the host pays a single round-trip wait, instead of B
+    sequential prove() latencies (the payroll scenario,
+    ``client/payroll-demo.ts:326-350``, where the reference runs 3
+    prover subprocesses concurrently). Proof i uses blinding derived
+    from ``seed + i``. Returns a list of proofs."""
+    rng_pairs = []
+    for i in range(len(witnesses)):
+        rng = random.Random(seed + i)
+        rng_pairs.append((rng.randrange(R), rng.randrange(R)))
+    legs = [_dispatch_legs(dpk, r1cs, w) for w in witnesses]
+    fetched = jax.device_get(legs)
+    return [_finish_proof(dpk, f, r, s, w)
+            for f, (r, s), w in zip(fetched, rng_pairs, witnesses)]
