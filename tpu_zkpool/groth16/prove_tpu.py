@@ -185,18 +185,35 @@ def _h_pipeline(evs, tinv, tables, demont):
     return h_m
 
 
-def compute_h_device(r1cs, w_full: list, n: int, as_limbs: bool = False):
+def compute_h_device(r1cs, w_full, n: int, as_limbs: bool = False,
+                     w64: np.ndarray | None = None):
     """H(X) coefficients with the NTT work on device (evals host-side).
 
     ``as_limbs=True`` returns plain (non-Montgomery) scalar limbs as a
     device ``uint32[n, 16]`` array — the exact input the grid MSM wants —
-    so the H leg never round-trips through host bigints."""
+    so the H leg never round-trips through host bigints. The U/V/W row
+    evaluations run through the native CSR matvec (native/witness.cpp)
+    when available (``w64`` = the uint64[n,4] witness image, built here
+    if not passed); pure-Python bigints otherwise."""
     m = len(r1cs.a_rows)
-    ua = [r1cs.eval_row(r1cs.a_rows[c], w_full) for c in range(m)] + [0] * (n - m)
-    vb = [r1cs.eval_row(r1cs.b_rows[c], w_full) for c in range(m)] + [0] * (n - m)
-    wc = [r1cs.eval_row(r1cs.c_rows[c], w_full) for c in range(m)] + [0] * (n - m)
-
-    dev = jnp.asarray(FR.to_mont(np.asarray([ua, vb, wc], dtype=object)))
+    dev = None
+    try:
+        from tpu_zkpool.groth16 import solver_native as sn
+        if w64 is None:
+            w64 = sn.ints_to_u64x4(w_full)
+        evs = np.zeros((3, n, 4), dtype=np.uint64)
+        for i, rows in enumerate((r1cs.a_rows, r1cs.b_rows, r1cs.c_rows)):
+            evs[i, :m] = sn.eval_rows_native((id(r1cs), i), rows, w64)
+        mont = sn.to_mont_batch(evs.reshape(-1, 4))
+        dev = jnp.asarray(
+            sn.u64x4_to_limbs16(mont).reshape(3, n, 16))
+    except (OSError, __import__("subprocess").CalledProcessError):
+        pass
+    if dev is None:
+        ua = [r1cs.eval_row(r1cs.a_rows[c], w_full) for c in range(m)] + [0] * (n - m)
+        vb = [r1cs.eval_row(r1cs.b_rows[c], w_full) for c in range(m)] + [0] * (n - m)
+        wc = [r1cs.eval_row(r1cs.c_rows[c], w_full) for c in range(m)] + [0] * (n - m)
+        dev = jnp.asarray(FR.to_mont(np.asarray([ua, vb, wc], dtype=object)))
 
     # t(g w^i) = g^n - 1, constant on the coset.
     t_coset_inv = pow(pow(domain.COSET_G, n, R) - 1, -1, R)
@@ -216,11 +233,20 @@ def _dispatch_legs(dpk: DeviceProvingKey, r1cs, w_full: list):
     pk = dpk.pk
     n = pk.n_domain
     nmax = max(dpk._na, dpk._nb2)
-    w_limbs = _scalar_limbs(w_full, nmax)   # one conversion for A/B1/B2
+    w64 = None
+    try:
+        from tpu_zkpool.groth16 import solver_native as sn
+        w64 = sn.ints_to_u64x4(w_full)
+        limbs16 = sn.u64x4_to_limbs16(w64)
+        pad = np.zeros((nmax, NLIMB), dtype=np.uint32)
+        pad[: len(w_full)] = limbs16
+        w_limbs = jnp.asarray(pad)
+    except (OSError, __import__("subprocess").CalledProcessError):
+        w_limbs = _scalar_limbs(w_full, nmax)
     a_out = dpk._msm_g1_dispatch(dpk.a_query, dpk._na, w_limbs)
     b1_out = dpk._msm_g1_dispatch(dpk.b1_query, dpk._na, w_limbs)
     b2_out = dpk._msm_g2_dispatch(w_limbs)
-    h_limbs = compute_h_device(r1cs, w_full, n, as_limbs=True)
+    h_limbs = compute_h_device(r1cs, w_full, n, as_limbs=True, w64=w64)
     h_pad = jnp.pad(h_limbs[: n - 1],
                     ((0, dpk._nh - (n - 1)), (0, 0)))
     ht_out = dpk._msm_g1_dispatch(dpk.h_query, dpk._nh, h_pad)
@@ -228,10 +254,16 @@ def _dispatch_legs(dpk: DeviceProvingKey, r1cs, w_full: list):
         cset = set(pk.committed)
         priv = [w_full[i] for i in range(r1cs.num_public, len(w_full))
                 if i not in cset]
+        k_limbs = _scalar_limbs(priv, dpk._nk)
+    elif w64 is not None:
+        from tpu_zkpool.groth16 import solver_native as sn
+        kp = np.zeros((dpk._nk, NLIMB), dtype=np.uint32)
+        kp[: len(w_full) - r1cs.num_public] = sn.u64x4_to_limbs16(
+            w64[r1cs.num_public:])
+        k_limbs = jnp.asarray(kp)
     else:
-        priv = w_full[r1cs.num_public:]
-    k_out = dpk._msm_g1_dispatch(dpk.k_query, dpk._nk,
-                                 _scalar_limbs(priv, dpk._nk))
+        k_limbs = _scalar_limbs(w_full[r1cs.num_public:], dpk._nk)
+    k_out = dpk._msm_g1_dispatch(dpk.k_query, dpk._nk, k_limbs)
     return (a_out, b1_out, b2_out, ht_out, k_out)
 
 

@@ -110,11 +110,63 @@ def _fi_value(fi, w):
     return w[v]
 
 
+def _exec_blackbox(op, w):
+    """Execute a value-level blackbox op against witness mapping ``w``
+    (dict or any mutable int->int mapping). Shared by the pure-Python
+    solver and the native-replay path (solver_native.py)."""
+    d = op.data
+    if op.kind == "multi_scalar_mul":
+        pts = [_fi_value(fi, w) for fi in d["points"]]
+        scs = [_fi_value(fi, w) for fi in d["scalars"]]
+        acc = None
+        for i in range(0, len(pts), 3):
+            x, y, inf = pts[i : i + 3]
+            lo, hi = scs[2 * (i // 3) : 2 * (i // 3) + 2]
+            scalar = lo + (hi << 128)
+            pt = None if inf else (x, y)
+            acc = curve_ref.add(acc, curve_ref.scalar_mul(scalar, pt))
+        ox, oy, oinf = d["out"]
+        if acc is None:
+            w[ox], w[oy], w[oinf] = 0, 0, 1
+        else:
+            w[ox], w[oy], w[oinf] = acc[0], acc[1], 0
+    elif op.kind in ("and", "xor"):
+        a = _fi_value(d["lhs"], w)
+        bvv = _fi_value(d["rhs"], w)
+        w[d["out"]] = (a & bvv) if op.kind == "and" else (a ^ bvv)
+    elif op.kind == "embedded_curve_add":
+        vals = [_fi_value(fi, w) for fi in d["in"]]
+        x1, y1, i1, x2, y2, i2 = vals
+        p1 = None if i1 else (x1, y1)
+        p2 = None if i2 else (x2, y2)
+        acc = curve_ref.add(p1, p2)
+        ox, oy, oinf = d["out"]
+        if acc is None:
+            w[ox], w[oy], w[oinf] = 0, 0, 1
+        else:
+            w[ox], w[oy], w[oinf] = acc[0], acc[1], 0
+    elif op.kind == "poseidon2_permutation":
+        from tpu_zkpool.hash.poseidon2 import permutation_ref
+        state = [_fi_value(fi, w) for fi in d["inputs"]]
+        out = permutation_ref(state)
+        for ov, val in zip(d["outputs"], out):
+            w[ov] = val
+    else:
+        raise SolveError(f"not a blackbox opcode: {op.kind}")
+
+
 def solve(program: Program, inputs: dict[int, int], brillig_names=None,
-          check_asserts: bool = True) -> dict[int, int]:
+          check_asserts: bool = True, trace: list | None = None
+          ) -> dict[int, int]:
     """Solve the main circuit's witness vector given input assignments.
 
     ``inputs`` maps witness index -> value. Returns the full witness dict.
+
+    ``trace`` (optional list) records the RESOLUTION schedule — the order
+    in which gates solved/checked, brillig directives fired, and blackbox
+    ops ran. The schedule depends only on the set of input witness
+    indices, not their values, so one traced run compiles the circuit
+    into the native replay program (``solver_native.py``).
     """
     circ = program.circuits[0]
     if brillig_names is None:
@@ -122,6 +174,10 @@ def solve(program: Program, inputs: dict[int, int], brillig_names=None,
     w = {k: v % P for k, v in inputs.items()}
     pending: list[Expression] = []
     memory: dict[int, list] = {}
+
+    def rec(*ev):
+        if trace is not None:
+            trace.append(ev)
 
     def drain_pending():
         progress = True
@@ -135,6 +191,7 @@ def solve(program: Program, inputs: dict[int, int], brillig_names=None,
                 progress = True
                 if res is not None:
                     w[res[0]] = res[1]
+                rec("gate", expr, None if res is None else res[0])
 
     for k, op in enumerate(circ.opcodes):
         if op.kind == "assert_zero":
@@ -142,72 +199,40 @@ def solve(program: Program, inputs: dict[int, int], brillig_names=None,
             if res == "defer":
                 pending.append(op.data["expr"])
             elif res is not None:
+                rec("gate", op.data["expr"], res[0])
                 w[res[0]] = res[1]
                 drain_pending()
+            else:
+                rec("gate", op.data["expr"], None)
         elif op.kind == "range":
             if check_asserts:
                 kind, v = op.data["input"]
                 if kind == "wit" and v in w:
+                    rec("range", v, op.data["bits"])
                     if w[v] >= 1 << op.data["bits"]:
                         raise SolveError(
                             f"range check failed at op {k}: w{v} >= 2^{op.data['bits']}")
         elif op.kind == "brillig_call":
             d = op.data
             vals = []
+            payloads = []
             for kind, payload in d["inputs"]:
                 if kind == "single":
                     v = _eval_known(payload, w)
                     if v is None:
                         raise SolveError(f"brillig input unknown at op {k}")
                     vals.append(v)
+                    payloads.append(payload)
                 else:
                     raise SolveError(f"brillig input kind {kind} at op {k}")
             name = brillig_names[d["id"]]
+            rec("brillig", name, payloads, d["outputs"])
             _brillig_dispatch(name, vals, d["outputs"], w)
             drain_pending()
-        elif op.kind == "multi_scalar_mul":
-            d = op.data
-            pts = [_fi_value(fi, w) for fi in d["points"]]
-            scs = [_fi_value(fi, w) for fi in d["scalars"]]
-            acc = None
-            for i in range(0, len(pts), 3):
-                x, y, inf = pts[i : i + 3]
-                lo, hi = scs[2 * (i // 3) : 2 * (i // 3) + 2]
-                scalar = lo + (hi << 128)
-                pt = None if inf else (x, y)
-                acc = curve_ref.add(acc, curve_ref.scalar_mul(scalar, pt))
-            ox, oy, oinf = d["out"]
-            if acc is None:
-                w[ox], w[oy], w[oinf] = 0, 0, 1
-            else:
-                w[ox], w[oy], w[oinf] = acc[0], acc[1], 0
-            drain_pending()
-        elif op.kind in ("and", "xor"):
-            d = op.data
-            a = _fi_value(d["lhs"], w)
-            bvv = _fi_value(d["rhs"], w)
-            w[d["out"]] = (a & bvv) if op.kind == "and" else (a ^ bvv)
-            drain_pending()
-        elif op.kind == "embedded_curve_add":
-            d = op.data
-            vals = [_fi_value(fi, w) for fi in d["in"]]
-            x1, y1, i1, x2, y2, i2 = vals
-            p1 = None if i1 else (x1, y1)
-            p2 = None if i2 else (x2, y2)
-            acc = curve_ref.add(p1, p2)
-            ox, oy, oinf = d["out"]
-            if acc is None:
-                w[ox], w[oy], w[oinf] = 0, 0, 1
-            else:
-                w[ox], w[oy], w[oinf] = acc[0], acc[1], 0
-            drain_pending()
-        elif op.kind == "poseidon2_permutation":
-            from tpu_zkpool.hash.poseidon2 import permutation_ref
-            d = op.data
-            state = [_fi_value(fi, w) for fi in d["inputs"]]
-            out = permutation_ref(state)
-            for ov, val in zip(d["outputs"], out):
-                w[ov] = val
+        elif op.kind in ("multi_scalar_mul", "and", "xor",
+                         "embedded_curve_add", "poseidon2_permutation"):
+            rec("callback", op)
+            _exec_blackbox(op, w)
             drain_pending()
         elif op.kind == "memory_init":
             d = op.data
