@@ -142,7 +142,8 @@ def bench_groth16_prove(iters=3):
     sys.path.insert(0, "/root/repo/tests")
     import vectors
     from tpu_zkpool.groth16.acir import load_artifact
-    from tpu_zkpool.groth16 import solver, r1cs as r1cs_mod, prove_tpu
+    from tpu_zkpool.groth16 import solver_native as solver
+    from tpu_zkpool.groth16 import r1cs as r1cs_mod, prove_tpu
     from tpu_zkpool.groth16.cache import cached_setup
     from tpu_zkpool.refimpl import groth16_ref as g16
 
@@ -159,6 +160,36 @@ def bench_groth16_prove(iters=3):
         prove_tpu.prove(dpk, ar.r1cs, w, seed=101 + it)
         times.append(time.time() - t0)
     return 1.0 / min(times)
+
+
+def bench_groth16_prove_batch(B=4, iters=3):
+    """Batched prover throughput: B proofs per prove_batch call (all MSM
+    legs of every proof dispatched before any fetch), fresh witnesses per
+    proof via the native solver. The payroll scenario
+    (client/payroll-demo.ts:326-350) at framework scale."""
+    sys.path.insert(0, "/root/repo/tests")
+    import vectors
+    from tpu_zkpool.groth16.acir import load_artifact
+    from tpu_zkpool.groth16 import solver_native as solver
+    from tpu_zkpool.groth16 import r1cs as r1cs_mod, prove_tpu
+    from tpu_zkpool.groth16.cache import cached_setup
+    from tpu_zkpool.refimpl import groth16_ref as g16
+
+    abi, prog = load_artifact(vectors.WITHDRAW_ARTIFACT)
+    ar = r1cs_mod.convert(prog)
+    pk, vk = cached_setup(ar.r1cs)
+    dpk = prove_tpu.DeviceProvingKey(pk, backend="pallas", complete=True)
+    w = r1cs_mod.build_witness(
+        ar, solver.solve(prog, vectors.withdraw_inputs()))
+    ws = [w] * B
+    proofs = prove_tpu.prove_batch(dpk, ar.r1cs, ws, seed=300)  # warm
+    assert g16.verify(vk, proofs[0], w[1:ar.r1cs.num_public])
+    times = []
+    for it in range(iters):
+        t0 = time.time()
+        prove_tpu.prove_batch(dpk, ar.r1cs, ws, seed=400 + B * it)
+        times.append(time.time() - t0)
+    return B / min(times)
 
 
 # ---------------------------------------------------------- groth16 verify
@@ -209,6 +240,7 @@ METRICS = [
     ("rlwe", "rlwe_polymul_1024_per_s", 1800),
     ("verify", "groth16_verify_batch_per_s", 3600),
     ("prove", "groth16_prove_withdraw_per_s", 7200),
+    ("prove_batch", "groth16_prove_batch4_per_s", 3600),
 ]
 
 
@@ -225,6 +257,8 @@ def run_metric(name):
         return bench_verify_batch()
     if name == "prove":
         return bench_groth16_prove()
+    if name == "prove_batch":
+        return bench_groth16_prove_batch()
     raise ValueError(name)
 
 

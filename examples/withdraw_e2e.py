@@ -33,7 +33,8 @@ else:
     enable_compile_cache()
 
 from tpu_zkpool.groth16.acir import load_artifact
-from tpu_zkpool.groth16 import solver, r1cs as r1cs_mod
+from tpu_zkpool.groth16 import solver_native as solver
+from tpu_zkpool.groth16 import r1cs as r1cs_mod
 from tpu_zkpool.groth16.gnark_fmt import emit_proof, parse_proof
 from tpu_zkpool.refimpl import groth16_ref as g16
 from tpu_zkpool.protocol.state import Pool, PoolError, PROOF_LEN

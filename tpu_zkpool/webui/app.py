@@ -72,7 +72,8 @@ class DemoApp:
     def _groth16_ctx(self):
         if self._g16 is None:
             from tpu_zkpool.groth16.acir import load_artifact
-            from tpu_zkpool.groth16 import solver, r1cs as r1cs_mod
+            from tpu_zkpool.groth16 import solver_native as solver
+            from tpu_zkpool.groth16 import r1cs as r1cs_mod
             from tpu_zkpool.groth16.cache import cached_setup
             _, prog = load_artifact(
                 "/root/reference/noir_circuit/target/shielded_pool_verifier.json")
