@@ -18,7 +18,9 @@ sys.path.insert(0, os.path.join(
 
 import jax
 
-jax.config.update("jax_platforms", "cpu")
+DEVICE = "--device" in sys.argv
+if not DEVICE:
+    jax.config.update("jax_platforms", "cpu")
 
 from tpu_zkpool.protocol.audit_circuit import build_audit_circuit, ct_commitment_of
 from tpu_zkpool.refimpl import rlwe_ref, groth16_ref as g16
@@ -51,7 +53,21 @@ def main():
     print("=== 3. Groth16 ===")
     from tpu_zkpool.groth16.cache import cached_setup
     t0 = time.time(); pkg, vkg = cached_setup(r1cs, verbose=True); print(f"setup: {time.time()-t0:.0f}s")
-    t0 = time.time(); proof = g16.prove(pkg, r1cs, w); print(f"prove: {time.time()-t0:.0f}s")
+    if DEVICE:
+        # full audit circuit through the TPU grid pipeline: 4 G1 MSMs
+        # (~2^17-padded queries) + the Fp2 G2 MSM + the H(X) NTT on chip
+        from tpu_zkpool.groth16 import prove_tpu
+        print(f"devices: {jax.devices()}")
+        t0 = time.time()
+        dpk = prove_tpu.DeviceProvingKey(pkg, backend="pallas")
+        print(f"device pk upload: {time.time()-t0:.0f}s")
+        t0 = time.time(); proof = prove_tpu.prove(dpk, r1cs, w)
+        print(f"prove (TPU grid MSMs + NTT): {time.time()-t0:.1f}s")
+        t0 = time.time(); proof2 = prove_tpu.prove(dpk, r1cs, w, seed=11)
+        print(f"prove warm: {time.time()-t0:.1f}s")
+        assert g16.verify(vkg, proof2, [wa, ct]), "warm device proof invalid"
+    else:
+        t0 = time.time(); proof = g16.prove(pkg, r1cs, w); print(f"prove: {time.time()-t0:.0f}s")
     assert g16.verify(vkg, proof, [wa, ct])
     assert not g16.verify(vkg, proof, [wa, ct + 1])
     print("verify ok (+ negative). E2E OK")

@@ -25,7 +25,8 @@ def main():
     c = int(sys.argv[2]) if len(sys.argv) > 2 else 13
     lanes = int(sys.argv[3]) if len(sys.argv) > 3 else 1024
     complete = not (len(sys.argv) > 4 and sys.argv[4] == "incomplete")
-    print(f"lanes={lanes} complete={complete}", flush=True)
+    limb15 = not (len(sys.argv) > 5 and sys.argv[5] == "limb16")
+    print(f"lanes={lanes} complete={complete} limb15={limb15}", flush=True)
     n = 1 << log2n
     print(f"devices: {jax.devices()}", flush=True)
     rng = random.Random(7)
@@ -42,7 +43,7 @@ def main():
 
     t0 = time.time()
     out = mg.msm_grid_g1((X, Y, Z), limbs, c=c, backend="pallas",
-                         lanes=lanes, complete=complete)
+                         lanes=lanes, complete=complete, limb15=limb15)
     s = int(jax.device_get(jnp.sum(out[0])))  # force real execution
     print(f"first run (compile+exec): {time.time()-t0:.1f}s", flush=True)
 
@@ -64,7 +65,7 @@ def main():
     acc = 0
     for lm in limbs_list:
         out = mg.msm_grid_g1((X, Y, Z), lm, c=c, backend="pallas",
-                             lanes=lanes, complete=complete)
+                             lanes=lanes, complete=complete, limb15=limb15)
         acc ^= int(jax.device_get(jnp.sum(out[0])))
     dt = (time.time() - t0) / iters
     print(f"timed: {dt:.3f}s per MSM of 2^{log2n} -> {n/dt:,.0f} pts/s", flush=True)

@@ -134,3 +134,38 @@ def test_sharded_msm_2d_vs_native():
     got = (int(np.asarray(xs).reshape(-1)[0]),
            int(np.asarray(ys).reshape(-1)[0]))
     assert got == native_bridge.g1_msm(ks, aff)
+
+
+@pytest.mark.skipif(os.environ.get("RUN_SLOW") != "1",
+                    reason="several-minute XLA-CPU compile (RUN_SLOW=1)")
+def test_leg_parallel_msm_vs_native():
+    """Stage-parallel proving seam: 4 G1 legs on a (leg=4, pt=2) mesh,
+    each leg's MSM bit-exact vs the native oracle."""
+    from tpu_zkpool.parallel.prove_stages import msm_legs_sharded
+    from tpu_zkpool.curve.weierstrass import G1
+    from tpu_zkpool import native_bridge
+    from tpu_zkpool.fields.bn254 import FR_MOD
+    from tpu_zkpool.fields.limbs import ints_to_limbs
+
+    rng = random.Random(21)
+    n = 2048
+    rows_legs, limbs_legs, oracle = [], [], []
+    for leg in range(4):
+        base = [rng.randrange(1, 1 << 62) for _ in range(n)]
+        aff = native_bridge.g1_gen_mul_batch(base)
+        ks = [rng.randrange(0, FR_MOD) for _ in range(n)]
+        X, Y, Z = G1.from_affine_ints([p[0] for p in aff],
+                                      [p[1] for p in aff])
+        rows_legs.append(jnp.stack([X, Y, Z], axis=1)[:, :, None, :])
+        limbs_legs.append(jnp.asarray(ints_to_limbs(ks)))
+        oracle.append(native_bridge.g1_msm(ks, aff))
+    devs = np.asarray(jax.devices()[:8]).reshape(4, 2)
+    mesh = jax.sharding.Mesh(devs, ("leg", "pt"))
+    out = msm_legs_sharded(jnp.stack(rows_legs), jnp.stack(limbs_legs),
+                           mesh, backend="xla")
+    for leg in range(4):
+        xs, ys = G1.to_affine_ints(tuple(
+            np.asarray(out[leg, i, 0])[None][None] for i in range(3)))
+        got = (int(np.asarray(xs).reshape(-1)[0]),
+               int(np.asarray(ys).reshape(-1)[0]))
+        assert got == oracle[leg], f"leg {leg} mismatch"
