@@ -78,9 +78,10 @@ def main_g2():
     log2n = int(sys.argv[2]) if len(sys.argv) > 2 else 12
     lanes = int(sys.argv[3]) if len(sys.argv) > 3 else 1024
     complete = not (len(sys.argv) > 4 and sys.argv[4] == "incomplete")
+    limb15 = not (len(sys.argv) > 5 and sys.argv[5] == "limb16")
     n = 1 << log2n
-    print(f"G2 check n=2^{log2n} lanes={lanes} complete={complete}",
-          flush=True)
+    print(f"G2 check n=2^{log2n} lanes={lanes} complete={complete} "
+          f"limb15={limb15}", flush=True)
     rng = random.Random(5)
     base = [rng.randrange(1, 1 << 62) for _ in range(n)]
     t0 = time.time()
@@ -93,7 +94,7 @@ def main_g2():
     limbs = jnp.asarray(ints_to_limbs(ks))
     t0 = time.time()
     out = mg.msm_grid_g2(pts, limbs, c=13, backend="pallas", lanes=lanes,
-                         complete=complete)
+                         complete=complete, limb15=limb15)
     got = _g2_affine(out)
     print(f"first run: {time.time()-t0:.1f}s", flush=True)
     exp = native_bridge.g2_msm(ks, aff)
@@ -105,7 +106,7 @@ def main_g2():
         ks2 = [(k + it + 1) % FR_MOD for k in ks]
         out = mg.msm_grid_g2(pts, jnp.asarray(ints_to_limbs(ks2)), c=13,
                              backend="pallas", lanes=lanes,
-                             complete=complete)
+                             complete=complete, limb15=limb15)
         int(jax.device_get(jnp.sum(out[0])))
     dt = (time.time() - t0) / iters
     print(f"G2 timed: {dt:.3f}s per MSM -> {n/dt:,.0f} pts/s", flush=True)

@@ -143,3 +143,20 @@ def test_msm_grid_full_xla():
                                    np.asarray(Z)[None]]))
     exp = native_bridge.g1_msm(ks, aff)
     assert got == exp
+
+
+def test_msm_grid_full_xla_c14():
+    """Wide-window regression: c = 14 gives half = 8192 buckets, so the
+    two-level reduction runs with C = 64 chunk columns (> the former 32-
+    column cap) and W*C = 1216 first-level lanes."""
+    n = 1024
+    rng = random.Random(43)
+    aff = _points(n, seed=6)
+    ks = [rng.randrange(0, FR_MOD) for _ in range(n)]
+    rows = _rows_from_affine(aff)
+    pts = (rows[:, 0, 0], rows[:, 1, 0], rows[:, 2, 0])
+    X, Y, Z = mg.msm_grid_g1(pts, jnp.asarray(ints_to_limbs(ks)), c=14,
+                             backend="xla", complete=False)
+    got = _row_to_affine(np.stack([np.asarray(X)[None], np.asarray(Y)[None],
+                                   np.asarray(Z)[None]]))
+    assert got == native_bridge.g1_msm(ks, aff)

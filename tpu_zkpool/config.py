@@ -74,6 +74,7 @@ class KernelConfig:
 
     msm_window_bits: int = 13      # signed Pippenger window (grid MSM)
     msm_backend: str = "pallas"    # "pallas" (TPU) | "xla" (portable)
+    msm_limb15: bool = True        # 17x15-bit prefix kernels (curve/limb15.py)
     poseidon_tile_lanes: int = 1024
     compile_cache: bool = True
 

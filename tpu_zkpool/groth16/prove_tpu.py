@@ -78,15 +78,20 @@ class DeviceProvingKey:
     """Device-resident query points (G1 and G2) + the host pk."""
 
     def __init__(self, pk: g16.ProvingKey, c: int = 13,
-                 backend: str = "pallas", complete: bool = True):
+                 backend: str = "pallas", complete: bool = True,
+                 limb15: bool = True):
         # complete=False (prover mode, grid._finish) drops the doubling
         # branch: safe for large pseudorandom query sets (collision
         # probability ~2^-254 per add) but NOT for tiny/structured circuits
         # where duplicate query points are common — default to complete.
+        # limb15 switches the prefix kernels to the 17x15-bit-limb field
+        # ops (curve/limb15.py) — bit-exact, fewer VPU ops per add; only
+        # meaningful for backend="pallas" (the XLA backend ignores it).
         self.pk = pk
         self.c = c
         self.backend = backend
         self.complete = complete
+        self.limb15 = limb15 if backend == "pallas" else False
         self.a_query, self._na = _points_device(pk.a_query)
         self.b1_query, _ = _points_device(pk.b1_query)
         self.k_query, self._nk = _points_device(pk.k_query)
@@ -104,14 +109,15 @@ class DeviceProvingKey:
         limbs = (scalars if isinstance(scalars, jnp.ndarray)
                  else _scalar_limbs(scalars, npad))
         return msm_grid_g1(points_dev, limbs[:npad], c=self.c,
-                           backend=self.backend, complete=self.complete)
+                           backend=self.backend, complete=self.complete,
+                           limb15=self.limb15)
 
     def _msm_g2_dispatch(self, scalars):
         limbs = (scalars if isinstance(scalars, jnp.ndarray)
                  else _scalar_limbs(scalars, self._nb2))
         return msm_grid_g2(self.b2_query, limbs[: self._nb2],
                            c=self.c, backend=self.backend,
-                           complete=self.complete)
+                           complete=self.complete, limb15=self.limb15)
 
     def _msm_g1(self, points_dev, npad, scalars):
         return _g1_affine(self._msm_g1_dispatch(points_dev, npad, scalars))

@@ -45,6 +45,7 @@ from tpu_zkpool.fields.fctx import FP
 from tpu_zkpool.fields.limbs import NLIMB, MASK, WBITS, int_to_limbs
 from tpu_zkpool.hash.poseidon_pallas import TILE, TILE_N, _mont_mul, _add_mod
 from tpu_zkpool.curve.curve_pallas import _sub_mod, _dbl_mod, _is_zero
+from tpu_zkpool.curve import limb15 as l15
 
 _PJ = [np.uint32(v) for v in FP.p_limbs]
 _N0 = np.uint32(FP.n0)
@@ -100,6 +101,10 @@ class _Fp:
         return [[jnp.where(cond, x, y) for x, y in zip(ca, cb)]
                 for ca, cb in zip(a, b)]
 
+    @staticmethod
+    def mul_sub(a, b, c, d):
+        return _Fp.sub(_Fp.mul(a, b), _Fp.mul(c, d))
+
 
 class _Fp2:
     """Fp2 = Fp[u]/(u^2 + 1); Karatsuba multiplication (3 Fp muls)."""
@@ -149,6 +154,10 @@ class _Fp2:
         return [[jnp.where(cond, x, y) for x, y in zip(ca, cb)]
                 for ca, cb in zip(a, b)]
 
+    @staticmethod
+    def mul_sub(a, b, c, d):
+        return _Fp2.sub(_Fp2.mul(a, b), _Fp2.mul(c, d))
+
 
 def _field(ncomp):
     return _Fp if ncomp == 1 else _Fp2
@@ -182,6 +191,10 @@ class _XFp:
     def select(cond, a, b):
         return jnp.where(cond[..., None, None], a, b)
 
+    @staticmethod
+    def mul_sub(a, b, c, d):
+        return _XFp.sub(_XFp.mul(a, b), _XFp.mul(c, d))
+
 
 class _XFp2(_XFp):
     """XLA array adapter: element = uint32[..., 2, 16]; u^2 = -1.
@@ -205,6 +218,10 @@ class _XFp2(_XFp):
     @staticmethod
     def sqr(a):
         return _XFp2.mul(a, a)
+
+    @staticmethod
+    def mul_sub(a, b, c, d):
+        return _XFp.sub(_XFp2.mul(a, b), _XFp2.mul(c, d))
 
 
 def _xfield(ncomp):
@@ -281,7 +298,7 @@ def _pmadd(F, P, Q, complete=True):
     HHH = F.mul(H, HH)
     V = F.mul(X1, HH)
     X3 = F.sub(F.sub(F.sqr(r), HHH), F.dbl(V))
-    Y3 = F.sub(F.mul(r, F.sub(V, X3)), F.mul(Y1, HHH))
+    Y3 = F.mul_sub(r, F.sub(V, X3), Y1, HHH)
     Z3 = F.mul(Z1, H)
     return _finish(F, P, Q, X3, Y3, Z3, H, r, complete, q_affine=True)
 
@@ -302,7 +319,7 @@ def _padd(F, P, Q, complete=True):
     HHH = F.mul(H, HH)
     V = F.mul(U1, HH)
     X3 = F.sub(F.sub(F.sqr(r), HHH), F.dbl(V))
-    Y3 = F.sub(F.mul(r, F.sub(V, X3)), F.mul(S1, HHH))
+    Y3 = F.mul_sub(r, F.sub(V, X3), S1, HHH)
     Z3 = F.mul(F.mul(Z1, Z2), H)
     return _finish(F, P, Q, X3, Y3, Z3, H, r, complete)
 
@@ -313,17 +330,17 @@ def _padd(F, P, Q, complete=True):
 # --------------------------------------------------------------------------
 
 
-def _load(ref, ncomp, ncoord=3):
+def _load(ref, ncomp, ncoord=3, nlimb=NLIMB):
     return tuple(
-        [[ref[c, q, l] for l in range(NLIMB)] for q in range(ncomp)]
+        [[ref[c, q, l] for l in range(nlimb)] for q in range(ncomp)]
         for c in range(ncoord)
     )
 
 
-def _store(ref, P, ncomp):
+def _store(ref, P, ncomp, nlimb=NLIMB):
     for c in range(3):
         for q in range(ncomp):
-            for l in range(NLIMB):
+            for l in range(nlimb):
                 ref[c, q, l] = P[c][q][l]
 
 
@@ -331,9 +348,15 @@ def _zero_ref(ref):
     ref[...] = jnp.zeros(ref.shape, ref.dtype)
 
 
-def _make_prefix_kernel(ncomp, mixed, complete):
-    F = _field(ncomp)
+def _make_prefix_kernel(ncomp, mixed, complete, limb15=False):
+    """The O(N) bulk kernel. With ``limb15=True`` the running accumulator
+    lives in the 17x15-bit R' = 2^255 Montgomery domain (curve/limb15.py:
+    grouped product splits, dedicated squaring, fused Y3) — streamed-in
+    coordinates are halved+regrouped on load and the emitted prefix is
+    doubled back to the canonical 16x16-bit R domain on store."""
+    F = l15.field15(ncomp) if limb15 else _field(ncomp)
     addf = _pmadd if mixed else _padd
+    nl = l15.NL if limb15 else NLIMB
 
     def kernel(in_ref, out_ref, acc_ref):
         j = pl.program_id(0)
@@ -342,16 +365,22 @@ def _make_prefix_kernel(ncomp, mixed, complete):
         def _():
             _zero_ref(acc_ref)
 
-        P = _load(acc_ref, ncomp)
+        P = _load(acc_ref, ncomp, nlimb=nl)
         Q = _load(in_ref.at[0], ncomp, 2 if mixed else 3)
+        if limb15:
+            Q = tuple([l15.load15_from16(comp) for comp in coord]
+                      for coord in Q)
         R = addf(F, P, Q, complete)
-        _store(acc_ref, R, ncomp)
+        _store(acc_ref, R, ncomp, nlimb=nl)
+        if limb15:
+            R = tuple([l15.store16_from15(comp) for comp in coord]
+                      for coord in R)
         _store(out_ref.at[0], R, ncomp)
 
     return kernel
 
 
-def _prefix_tiles(tiles, mixed, complete, interpret=False):
+def _prefix_tiles(tiles, mixed, complete, interpret=False, limb15=False):
     """tiles: uint32[k, C, ncomp, NLIMB, nt, 8, 128] with C = 2 (affine
     X/Y, mixed path — identity inputs are excluded by digit-zeroing) or 3
     (Jacobian). Grid step j adds tile j into a persistent per-lane
@@ -359,17 +388,18 @@ def _prefix_tiles(tiles, mixed, complete, interpret=False):
     per step hide the carry-chain latency of the limb arithmetic."""
     k, C, ncomp, _, nt = tiles.shape[:5]
     assert C == (2 if mixed else 3)
+    nl = l15.NL if limb15 else NLIMB
     in_blk = (1, C, ncomp, NLIMB, nt) + TILE
     out_blk = (1, 3, ncomp, NLIMB, nt) + TILE
     return pl.pallas_call(
-        _make_prefix_kernel(ncomp, mixed, complete),
+        _make_prefix_kernel(ncomp, mixed, complete, limb15),
         grid=(k,),
         in_specs=[pl.BlockSpec(in_blk, lambda j: (j, 0, 0, 0, 0, 0, 0),
                                memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec(out_blk, lambda j: (j, 0, 0, 0, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((k, 3) + tiles.shape[2:], jnp.uint32),
-        scratch_shapes=[pltpu.VMEM((3, ncomp, NLIMB, nt) + TILE, jnp.uint32)],
+        scratch_shapes=[pltpu.VMEM((3, ncomp, nl, nt) + TILE, jnp.uint32)],
         interpret=interpret,
     )(tiles)
 
@@ -577,11 +607,13 @@ class PallasBackend:
     (empty buckets make the running sum meet its own accumulator, e.g.
     tot == acc in wsum) and always use complete adds."""
 
-    def __init__(self, interpret=False, lanes=TILE_N, complete=True):
+    def __init__(self, interpret=False, lanes=TILE_N, complete=True,
+                 limb15=False):
         assert lanes % TILE_N == 0
         self.interpret = interpret
         self.lanes = lanes
         self.complete = complete
+        self.limb15 = limb15
 
     def prefix(self, rows, k, mixed):
         """rows (lanes*k, C, nc, L) chunk-contiguous (C = 2 affine for the
@@ -590,7 +622,8 @@ class PallasBackend:
         tiles = _sorted_to_scan_tiles(rows, k, self.lanes)
         complete = self.complete if mixed else True
         return _scan_tiles_to_sorted(
-            _prefix_tiles(tiles, mixed, complete, self.interpret))
+            _prefix_tiles(tiles, mixed, complete, self.interpret,
+                          self.limb15))
 
     def addn(self, a, b):
         n = a.shape[0]
@@ -603,13 +636,16 @@ class PallasBackend:
 
     def wsum(self, B):
         """B (lanes, L, 3, nc, NL) -> (acc, tot) rows (lanes, 3, nc, NL):
-        acc = sum_l B[:, l], tot = sum_l (l+1) * B[:, l]."""
+        acc = sum_l B[:, l], tot = sum_l (l+1) * B[:, l]. Lane counts
+        beyond ``self.lanes`` widen the per-step tile (nt > default) so
+        wide windows (c = 14/16 -> W*C up to 4096) reduce in one scan."""
         nl, L = B.shape[:2]
         _, ncomp = B.shape[2:4]
-        nt = self.lanes // TILE_N
+        lanes = max(self.lanes, -(-nl // TILE_N) * TILE_N)
+        nt = lanes // TILE_N
         steps = jnp.moveaxis(B, 1, 0)[::-1]      # (L, nl, 3, nc, NL)
         steps = jnp.pad(steps,
-                        ((0, 0), (0, self.lanes - nl)) + ((0, 0),) * 3)
+                        ((0, 0), (0, lanes - nl)) + ((0, 0),) * 3)
         tiles = steps.reshape(L, nt, 8, 128, 3, ncomp, NLIMB).transpose(
             0, 4, 5, 6, 1, 2, 3)
         out = _wsum_tiles(tiles, True, self.interpret)
@@ -764,16 +800,20 @@ def _safe_point(ncomp: int):
 
 
 def _reduction_shape(half: int):
+    """Bucket axis factorization half = C * L for the two-level weighted
+    suffix reduction: L = per-wsum steps (power of two, <= 128), C = chunk
+    count (any size — wsum widens to multi-tile lanes when W*C > 1024)."""
     L = min(128, half)
     C = half // L
-    assert C * L == half and C <= 32
+    assert C * L == half
     return C, L
 
 
 def make_backend(backend: str, ncomp: int, interpret: bool = False,
-                 lanes: int = TILE_N, complete: bool = True):
-    return PallasBackend(interpret, lanes, complete) if backend == "pallas" \
-        else XlaBackend(ncomp, complete)
+                 lanes: int = TILE_N, complete: bool = True,
+                 limb15: bool = False):
+    return PallasBackend(interpret, lanes, complete, limb15) \
+        if backend == "pallas" else XlaBackend(ncomp, complete)
 
 
 def window_sums(rows, scalar_limbs, c, be):
@@ -886,36 +926,39 @@ def window_sums(rows, scalar_limbs, c, be):
     return be.scale_add(mT, sU, L.bit_length() - 1)   # (W, 3, ncomp, L)
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5, 6))
-def _msm_rows(rows, scalar_limbs, c, backend, interpret, lanes, complete):
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5, 6, 7))
+def _msm_rows(rows, scalar_limbs, c, backend, interpret, lanes, complete,
+              limb15=False):
     """rows: uint32[N, 3, ncomp, 16] Jacobian Montgomery points with Z in
     {R, 0}; scalar_limbs: uint32[N, 16] plain. N must be a multiple of
     ``lanes``. Returns the MSM as one point row (3, ncomp, 16)."""
-    be = make_backend(backend, rows.shape[2], interpret, lanes, complete)
+    be = make_backend(backend, rows.shape[2], interpret, lanes, complete,
+                      limb15)
     S = window_sums(rows, scalar_limbs, c, be)
     return be.horner(S, c)                         # (3, ncomp, L)
 
 
 def msm_grid_g1(points, scalar_limbs, c: int = 13, backend: str = "pallas",
                 interpret: bool = False, lanes: int = TILE_N,
-                complete: bool = True):
+                complete: bool = True, limb15: bool = False):
     """Grid-accumulator MSM over G1.
 
     points: (X, Y, Z) uint32[N, 16] Montgomery Jacobian with Z in {R, 0}
     (affine inputs or identity padding); scalar_limbs uint32[N, 16] plain.
     N must be a multiple of ``lanes``. Returns (X, Y, Z) uint32[16] each.
-    ``lanes``/``complete``: see PallasBackend.
+    ``lanes``/``complete``: see PallasBackend; ``limb15`` switches the
+    prefix scans to the 15-bit-limb kernels (curve/limb15.py).
     """
     X, Y, Z = points
     rows = jnp.stack([X, Y, Z], axis=1)[:, :, None, :]
     out = _msm_rows(rows, jnp.asarray(scalar_limbs), c, backend, interpret,
-                    lanes, complete)
+                    lanes, complete, limb15)
     return out[0, 0], out[1, 0], out[2, 0]
 
 
 def msm_grid_g2(points, scalar_limbs, c: int = 13, backend: str = "pallas",
                 interpret: bool = False, lanes: int = TILE_N,
-                complete: bool = True):
+                complete: bool = True, limb15: bool = False):
     """Grid-accumulator MSM over G2 (coordinates in Fp2).
 
     points: (X, Y, Z) uint32[N, 2, 16] Montgomery Jacobian (Z in {R, 0}).
@@ -924,7 +967,7 @@ def msm_grid_g2(points, scalar_limbs, c: int = 13, backend: str = "pallas",
     X, Y, Z = points
     rows = jnp.stack([X, Y, Z], axis=1)
     out = _msm_rows(rows, jnp.asarray(scalar_limbs), c, backend, interpret,
-                    lanes, complete)
+                    lanes, complete, limb15)
     return out[0], out[1], out[2]
 
 
