@@ -84,7 +84,8 @@ def bench_msm(log2n, c=13, iters=3):
     # correctness cross-check on the first run
     limbs = jnp.asarray(ints_to_limbs(ks))
     out = mg.msm_grid_g1((X, Y, Z), limbs, c=c, backend="pallas",
-                         complete=False)   # prover mode (see grid._finish)
+                         complete=False,   # prover mode (see grid._finish)
+                         limb15=True)      # 15-bit-limb prefix kernels
     xs, ys = G1.to_affine_ints(tuple(np.asarray(r)[None] for r in out))
     got = (int(np.asarray(xs).reshape(-1)[0]),
            int(np.asarray(ys).reshape(-1)[0]))
@@ -97,7 +98,7 @@ def bench_msm(log2n, c=13, iters=3):
         lm = jnp.asarray(ints_to_limbs(ks2))
         t0 = time.time()
         o = mg.msm_grid_g1((X, Y, Z), lm, c=c, backend="pallas",
-                           complete=False)
+                           complete=False, limb15=True)
         int(jax.device_get(jnp.sum(o[0])))
         times.append(time.time() - t0)
     return n / min(times)

@@ -816,12 +816,18 @@ def make_backend(backend: str, ncomp: int, interpret: bool = False,
         if backend == "pallas" else XlaBackend(ncomp, complete)
 
 
-def window_sums(rows, scalar_limbs, c, be):
+def window_sums(rows, scalar_limbs, c, be, split_gather=True):
     """Per-window Pippenger sums S_w (W, 3, ncomp, 16) of the local point
     set — everything except the final Horner combine. This is the sharding
     seam: point-axis-sharded MSM computes local window sums per device,
     folds them with one collective, and Horner runs once
-    (tpu_zkpool/parallel/msm_sharded.py)."""
+    (tpu_zkpool/parallel/msm_sharded.py).
+
+    ``split_gather=True`` keeps the per-window point gather row-contiguous
+    (one 128-byte row copy per index, from a doubled [xy ‖ -xy] array) and
+    fences it from the scan-tile transpose with an optimization barrier:
+    fused, XLA turns gather+transpose into one ELEMENT-wise gather of the
+    whole point set per window — the measured wall at 2^20."""
     N, _, ncomp, _ = rows.shape
     lanes = be.lanes
     assert N % lanes == 0
@@ -842,14 +848,20 @@ def window_sums(rows, scalar_limbs, c, be):
     safe = jnp.asarray(_safe_point(ncomp))         # (2, ncomp, NLIMB)
     xy = jnp.where(valid[:, None, None, None], rows[:, :2], safe)
     xy_neg = xy.at[:, 1].set(jnp.asarray(FP.neg(xy[:, 1])))
+    if split_gather:
+        xy2 = jnp.concatenate([xy, xy_neg], axis=0)   # (2N, 2, ncomp, L)
     orders = jnp.argsort(bucket, axis=0)          # (N, W)
 
     nq = half + 2                                  # boundary queries 0..half+1
 
     def per_window(_, xs):
         order, negw, bcol = xs
-        r = jnp.where(negw[:, None, None, None], xy_neg, xy)
-        rs = jnp.take(r, order, axis=0)
+        if split_gather:
+            idx2 = order + jnp.take(negw, order).astype(order.dtype) * N
+            rs = jax.lax.optimization_barrier(jnp.take(xy2, idx2, axis=0))
+        else:
+            r = jnp.where(negw[:, None, None, None], xy_neg, xy)
+            rs = jnp.take(r, order, axis=0)
         ds = jnp.take(bcol, order, axis=0)
         starts = jnp.searchsorted(ds, jnp.arange(nq, dtype=bcol.dtype),
                                   side="left")    # (nq,)
@@ -926,21 +938,22 @@ def window_sums(rows, scalar_limbs, c, be):
     return be.scale_add(mT, sU, L.bit_length() - 1)   # (W, 3, ncomp, L)
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5, 6, 7))
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5, 6, 7, 8))
 def _msm_rows(rows, scalar_limbs, c, backend, interpret, lanes, complete,
-              limb15=False):
+              limb15=False, split_gather=True):
     """rows: uint32[N, 3, ncomp, 16] Jacobian Montgomery points with Z in
     {R, 0}; scalar_limbs: uint32[N, 16] plain. N must be a multiple of
     ``lanes``. Returns the MSM as one point row (3, ncomp, 16)."""
     be = make_backend(backend, rows.shape[2], interpret, lanes, complete,
                       limb15)
-    S = window_sums(rows, scalar_limbs, c, be)
+    S = window_sums(rows, scalar_limbs, c, be, split_gather)
     return be.horner(S, c)                         # (3, ncomp, L)
 
 
 def msm_grid_g1(points, scalar_limbs, c: int = 13, backend: str = "pallas",
                 interpret: bool = False, lanes: int = TILE_N,
-                complete: bool = True, limb15: bool = False):
+                complete: bool = True, limb15: bool = False,
+                split_gather: bool = True):
     """Grid-accumulator MSM over G1.
 
     points: (X, Y, Z) uint32[N, 16] Montgomery Jacobian with Z in {R, 0}
@@ -952,13 +965,14 @@ def msm_grid_g1(points, scalar_limbs, c: int = 13, backend: str = "pallas",
     X, Y, Z = points
     rows = jnp.stack([X, Y, Z], axis=1)[:, :, None, :]
     out = _msm_rows(rows, jnp.asarray(scalar_limbs), c, backend, interpret,
-                    lanes, complete, limb15)
+                    lanes, complete, limb15, split_gather)
     return out[0, 0], out[1, 0], out[2, 0]
 
 
 def msm_grid_g2(points, scalar_limbs, c: int = 13, backend: str = "pallas",
                 interpret: bool = False, lanes: int = TILE_N,
-                complete: bool = True, limb15: bool = False):
+                complete: bool = True, limb15: bool = False,
+                split_gather: bool = True):
     """Grid-accumulator MSM over G2 (coordinates in Fp2).
 
     points: (X, Y, Z) uint32[N, 2, 16] Montgomery Jacobian (Z in {R, 0}).
@@ -967,7 +981,7 @@ def msm_grid_g2(points, scalar_limbs, c: int = 13, backend: str = "pallas",
     X, Y, Z = points
     rows = jnp.stack([X, Y, Z], axis=1)
     out = _msm_rows(rows, jnp.asarray(scalar_limbs), c, backend, interpret,
-                    lanes, complete, limb15)
+                    lanes, complete, limb15, split_gather)
     return out[0], out[1], out[2]
 
 

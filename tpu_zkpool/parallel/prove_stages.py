@@ -49,7 +49,7 @@ def _leg_msm_fn(mesh, axis_leg: str, axis_pt: str, c: int, backend: str,
                 return be.addn(acc, s), None
 
             S_tot, _ = jax.lax.scan(fold, jnp.zeros_like(S), allS)
-            out = be.finalize(be.horner(S_tot, c))     # (3, 1, 16)
+            out = be.horner(S_tot, c)                  # (3, 1, 16)
             return out[None]
 
         return jax.shard_map(
