@@ -83,6 +83,43 @@ def main():
     print(f"planes w=32 (axis=1): {per*1e9:8.2f} ns/row "
           f"({32*4/per/1e9:6.1f} GB/s)", flush=True)
 
+    # --- MSM consumer patterns: does the downstream scan-tile transpose
+    # slow the gather itself (layout assignment), barrier or not? ---
+    from tpu_zkpool.msm import grid as mg
+
+    @functools.partial(jax.jit, static_argnums=(2, 3))
+    def run_tiles(src4, idx, reps, barrier):
+        acc = jnp.uint32(0)
+        k = src4.shape[0] // 1024
+        for _ in range(reps):
+            i = (idx + acc) % jnp.uint32(src4.shape[0])
+            out = jnp.take(src4, i, axis=0)
+            if barrier:
+                out = jax.lax.optimization_barrier(out)
+            tiles = mg._sorted_to_scan_tiles(out, k)
+            acc = acc + (jnp.sum(tiles[-1], dtype=jnp.uint32)
+                         & jnp.uint32(1))
+        return acc
+
+    src4 = jnp.asarray(rng.randint(0, 1 << 30, size=(N, 2, 1, 16),
+                                   dtype=np.int64).astype(np.uint32))
+    for barrier in (False, True):
+        int(jax.device_get(run_tiles(src4, idx, R_BIG, barrier)))
+        int(jax.device_get(run_tiles(src4, idx, R_SMALL, barrier)))
+        best = None
+        for i in range(3):
+            idx2 = jnp.asarray((np.asarray(idx) + np.uint32(i + 1)) % N)
+            t0 = time.time()
+            int(jax.device_get(run_tiles(src4, idx2, R_BIG, barrier)))
+            tb = time.time() - t0
+            t0 = time.time()
+            int(jax.device_get(run_tiles(src4, idx2, R_SMALL, barrier)))
+            ts = time.time() - t0
+            per = (tb - ts) / ((R_BIG - R_SMALL) * N)
+            best = per if best is None else min(best, per)
+        print(f"take+scan_tiles barrier={barrier!s:5s}: {best*1e9:8.2f} "
+              f"ns/row ({32*4/best/1e9:6.1f} GB/s)", flush=True)
+
 
 if __name__ == "__main__":
     main()

@@ -26,9 +26,7 @@ def main():
     lanes = int(sys.argv[3]) if len(sys.argv) > 3 else 1024
     complete = not (len(sys.argv) > 4 and sys.argv[4] == "incomplete")
     limb15 = not (len(sys.argv) > 5 and sys.argv[5] == "limb16")
-    split = not (len(sys.argv) > 6 and sys.argv[6] == "fused")
-    print(f"lanes={lanes} complete={complete} limb15={limb15} "
-          f"split_gather={split}", flush=True)
+    print(f"lanes={lanes} complete={complete} limb15={limb15}", flush=True)
     n = 1 << log2n
     print(f"devices: {jax.devices()}", flush=True)
     rng = random.Random(7)
@@ -45,8 +43,7 @@ def main():
 
     t0 = time.time()
     out = mg.msm_grid_g1((X, Y, Z), limbs, c=c, backend="pallas",
-                         lanes=lanes, complete=complete, limb15=limb15,
-                         split_gather=split)
+                         lanes=lanes, complete=complete, limb15=limb15)
     s = int(jax.device_get(jnp.sum(out[0])))  # force real execution
     print(f"first run (compile+exec): {time.time()-t0:.1f}s", flush=True)
 
@@ -68,8 +65,7 @@ def main():
     acc = 0
     for lm in limbs_list:
         out = mg.msm_grid_g1((X, Y, Z), lm, c=c, backend="pallas",
-                             lanes=lanes, complete=complete, limb15=limb15,
-                             split_gather=split)
+                             lanes=lanes, complete=complete, limb15=limb15)
         acc ^= int(jax.device_get(jnp.sum(out[0])))
     dt = (time.time() - t0) / iters
     print(f"timed: {dt:.3f}s per MSM of 2^{log2n} -> {n/dt:,.0f} pts/s", flush=True)

@@ -160,3 +160,23 @@ def test_msm_grid_full_xla_c14():
     got = _row_to_affine(np.stack([np.asarray(X)[None], np.asarray(Y)[None],
                                    np.asarray(Z)[None]]))
     assert got == native_bridge.g1_msm(ks, aff)
+
+
+def test_msm_sub_slice_fold():
+    """Sub-MSM decomposition (grid.SUB_LOG2): window sums computed per
+    point slice and folded with Jacobian adds must match the native
+    oracle. Uses sub_log2=10 so 4096 points run as four 1024-point
+    slices (incl. an identity row)."""
+    n = 4096
+    rng = random.Random(44)
+    aff = _points(n, seed=7)
+    ks = [rng.randrange(0, FR_MOD) for _ in range(n)]
+    rows = jnp.asarray(np.asarray(_rows_from_affine(aff)))
+    rows = rows.at[7, 2].set(0)                 # identity padding row
+    ks_o = list(ks)
+    ks_o[7] = 0
+    be = mg.XlaBackend(1, complete=False)
+    S = mg.window_sums(rows, jnp.asarray(ints_to_limbs(ks)), 13, be,
+                       sub_log2=10)
+    got = _row_to_affine(np.asarray(be.horner(S, 13)))
+    assert got == native_bridge.g1_msm(ks_o, aff)

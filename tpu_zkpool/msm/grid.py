@@ -380,6 +380,78 @@ def _make_prefix_kernel(ncomp, mixed, complete, limb15=False):
     return kernel
 
 
+def _make_prefix_rows_kernel(ncomp, complete, limb15=False):
+    """Rows-in flavor of the mixed prefix kernel: consumes CONTIGUOUS
+    row-major blocks (lanes, 2*ncomp*NLIMB) of gathered affine points plus
+    a per-lane sign plane, transposing to limb planes IN VMEM (one
+    jnp.transpose per step, measured ~free — scripts/retile_prof.py). This
+    removes the XLA scan-tile transpose that dominated the MSM at 2^20
+    (22 ns/row even behind an optimization barrier: layout assignment
+    element-izes the gather+transpose pair)."""
+    F = l15.field15(ncomp) if limb15 else _field(ncomp)
+    nl = l15.NL if limb15 else NLIMB
+
+    def kernel(in_ref, sg_ref, out_ref, acc_ref):
+        j = pl.program_id(0)
+
+        @pl.when(j == 0)
+        def _():
+            _zero_ref(acc_ref)
+
+        lanes = in_ref.shape[1]
+        nt = lanes // TILE_N
+        TT = jnp.transpose(in_ref[0])            # (2*ncomp*NLIMB, lanes)
+
+        def plane(c, q, m):
+            return TT[(c * ncomp + q) * NLIMB + m].reshape(nt, *TILE)
+
+        Q = tuple([[plane(c, q, m) for m in range(NLIMB)]
+                   for q in range(ncomp)] for c in range(2))
+        if limb15:
+            Q = tuple([l15.load15_from16(comp) for comp in coord]
+                      for coord in Q)
+        sign = sg_ref[0] != 0                    # (nt, 8, 128)
+        Qy = Q[1]
+        Q = (Q[0], F.select(sign, F.sub(F.zero(Qy), Qy), Qy))
+        P = _load(acc_ref, ncomp, nlimb=nl)
+        R = _pmadd(F, P, Q, complete)
+        _store(acc_ref, R, ncomp, nlimb=nl)
+        if limb15:
+            R = tuple([l15.store16_from15(comp) for comp in coord]
+                      for coord in R)
+        _store(out_ref.at[0], R, ncomp)
+
+    return kernel
+
+
+def _prefix_rows_in(rows_t, signs_t, complete, interpret=False,
+                    limb15=False):
+    """rows_t: uint32[k, lanes, 2*ncomp*NLIMB] — step-major gathered
+    affine rows (row [j, l] = sorted position l*k + j); signs_t:
+    uint32[k, nt, 8, 128] per-lane Y-negation flags. Returns the same
+    tiled inclusive-prefix layout as ``_prefix_tiles`` so the downstream
+    boundary stages are unchanged."""
+    k, lanes, words = rows_t.shape
+    ncomp = words // (2 * NLIMB)
+    nt = lanes // TILE_N
+    nl = l15.NL if limb15 else NLIMB
+    out_blk = (1, 3, ncomp, NLIMB, nt) + TILE
+    return pl.pallas_call(
+        _make_prefix_rows_kernel(ncomp, complete, limb15),
+        grid=(k,),
+        in_specs=[pl.BlockSpec((1, lanes, words), lambda j: (j, 0, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((1, nt) + TILE, lambda j: (j, 0, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec(out_blk, lambda j: (j, 0, 0, 0, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(
+            (k, 3, ncomp, NLIMB, nt) + TILE, jnp.uint32),
+        scratch_shapes=[pltpu.VMEM((3, ncomp, nl, nt) + TILE, jnp.uint32)],
+        interpret=interpret,
+    )(rows_t, signs_t)
+
+
 def _prefix_tiles(tiles, mixed, complete, interpret=False, limb15=False):
     """tiles: uint32[k, C, ncomp, NLIMB, nt, 8, 128] with C = 2 (affine
     X/Y, mixed path — identity inputs are excluded by digit-zeroing) or 3
@@ -625,6 +697,20 @@ class PallasBackend:
             _prefix_tiles(tiles, mixed, complete, self.interpret,
                           self.limb15))
 
+    def prefix_signed(self, rows_t, signs_t, k):
+        """Mixed prefix over STEP-MAJOR gathered affine rows: rows_t
+        (k*lanes, 2*nc*L) FLAT with row j*lanes + l = sorted position
+        l*k+j, signs_t (k*lanes,) nonzero where Y negates. Returns the
+        inclusive prefix in SORTED row order (same contract as
+        prefix(mixed=True)); the retile transpose happens in-kernel."""
+        lanes = self.lanes
+        nt = lanes // TILE_N
+        rt = rows_t.reshape(k, lanes, rows_t.shape[-1])
+        sg = signs_t.astype(jnp.uint32).reshape(k, nt, *TILE)
+        out = _prefix_rows_in(rt, sg, self.complete, self.interpret,
+                              self.limb15)
+        return _scan_tiles_to_sorted(out)
+
     def addn(self, a, b):
         n = a.shape[0]
         lanes = -(-n // self.lanes) * self.lanes
@@ -676,6 +762,7 @@ class XlaBackend:
 
     def __init__(self, ncomp, complete=True):
         self.F = _xfield(ncomp)
+        self.ncomp = ncomp
         self.lanes = TILE_N
         self.complete = complete
 
@@ -685,6 +772,20 @@ class XlaBackend:
     @staticmethod
     def _rows(P):
         return jnp.stack(P, axis=-3)
+
+    def prefix_signed(self, rows_t, signs_t, k):
+        """Portable equivalent of PallasBackend.prefix_signed: un-transpose
+        the step-major FLAT stream back to sorted order, apply the Y sign,
+        and reuse the scan-based mixed prefix."""
+        lanes = self.lanes
+        nc = self.ncomp
+        rows = rows_t.reshape(k, lanes, 2, nc, NLIMB).transpose(
+            1, 0, 2, 3, 4).reshape(k * lanes, 2, nc, NLIMB)
+        sg = signs_t.reshape(k, lanes).T.reshape(-1)
+        yneg = jnp.asarray(FP.neg(rows[:, 1]))
+        rows = rows.at[:, 1].set(
+            jnp.where((sg != 0)[:, None, None], yneg, rows[:, 1]))
+        return self.prefix(rows, k, mixed=True)
 
     def prefix(self, rows, k, mixed):
         resh = jnp.moveaxis(
@@ -816,18 +917,47 @@ def make_backend(backend: str, ncomp: int, interpret: bool = False,
         if backend == "pallas" else XlaBackend(ncomp, complete)
 
 
-def window_sums(rows, scalar_limbs, c, be, split_gather=True):
+# Max points per sub-MSM slice. Measured on v5e (scripts/gather_prof.py):
+# XLA row-gather throughput cliffs on SOURCE ROW COUNT — ~1 ns/row at
+# 2^17 rows, 7.8 ns/row at 2^18, 34.6 ns/row at 2^20 — so a 2^20 MSM
+# gathers 30x faster as eight 2^17-point slices whose window sums fold
+# with W Jacobian adds each (window sums are additive over point subsets;
+# same seam as parallel/msm_sharded.py).
+SUB_LOG2 = 17
+
+
+def window_sums(rows, scalar_limbs, c, be, sub_log2=SUB_LOG2):
     """Per-window Pippenger sums S_w (W, 3, ncomp, 16) of the local point
     set — everything except the final Horner combine. This is the sharding
     seam: point-axis-sharded MSM computes local window sums per device,
     folds them with one collective, and Horner runs once
     (tpu_zkpool/parallel/msm_sharded.py).
 
-    ``split_gather=True`` keeps the per-window point gather row-contiguous
-    (one 128-byte row copy per index, from a doubled [xy ‖ -xy] array) and
-    fences it from the scan-tile transpose with an optimization barrier:
-    fused, XLA turns gather+transpose into one ELEMENT-wise gather of the
-    whole point set per window — the measured wall at 2^20."""
+    Point sets larger than 2^``sub_log2`` are processed as a scan over
+    slices (see SUB_LOG2) with the per-slice window sums folded by
+    Jacobian adds."""
+    N = rows.shape[0]
+    SUB = 1 << sub_log2
+    if N > SUB and N % SUB == 0:
+        W = n_windows(c)
+        rsub = rows.reshape(N // SUB, SUB, *rows.shape[1:])
+        lsub = scalar_limbs.reshape(N // SUB, SUB, scalar_limbs.shape[-1])
+
+        def body(acc, xs):
+            r, l = xs
+            Sw = _window_sums_one(r, l, c, be)
+            return be.addn(acc, Sw), None
+
+        init = jnp.zeros((W, 3) + rows.shape[2:], jnp.uint32)
+        acc, _ = jax.lax.scan(body, init, (rsub, lsub))
+        return acc
+    return _window_sums_one(rows, scalar_limbs, c, be)
+
+
+def _window_sums_one(rows, scalar_limbs, c, be):
+    """One slice of ``window_sums`` (the round-1 full pipeline, with the
+    per-window point stream fed to the kernel-side retile path
+    ``prefix_signed`` in step-major order)."""
     N, _, ncomp, _ = rows.shape
     lanes = be.lanes
     assert N % lanes == 0
@@ -847,35 +977,50 @@ def window_sums(rows, scalar_limbs, c, be, split_gather=True):
     neg = neg & valid[:, None]
     safe = jnp.asarray(_safe_point(ncomp))         # (2, ncomp, NLIMB)
     xy = jnp.where(valid[:, None, None, None], rows[:, :2], safe)
-    xy_neg = xy.at[:, 1].set(jnp.asarray(FP.neg(xy[:, 1])))
-    if split_gather:
-        xy2 = jnp.concatenate([xy, xy_neg], axis=0)   # (2N, 2, ncomp, L)
-    orders = jnp.argsort(bucket, axis=0)          # (N, W)
+    # Co-sort a packed (index | neg << 31) payload with the bucket keys:
+    # the sorted keys ARE the searchsorted input and the payload carries
+    # both the gather order and the Y-sign — no per-window element
+    # gathers of bucket/neg columns remain (they were ~half the gather
+    # time at 2^17).
+    payload = (jnp.arange(N, dtype=jnp.uint32)[:, None]
+               | (neg.astype(jnp.uint32) << 31))   # (N, W)
+    skeys, svals = jax.lax.sort((bucket, payload), dimension=0, num_keys=1)
 
     nq = half + 2                                  # boundary queries 0..half+1
 
     def per_window(_, xs):
-        order, negw, bcol = xs
-        if split_gather:
-            idx2 = order + jnp.take(negw, order).astype(order.dtype) * N
-            rs = jax.lax.optimization_barrier(jnp.take(xy2, idx2, axis=0))
-        else:
-            r = jnp.where(negw[:, None, None, None], xy_neg, xy)
-            rs = jnp.take(r, order, axis=0)
-        ds = jnp.take(bcol, order, axis=0)
-        starts = jnp.searchsorted(ds, jnp.arange(nq, dtype=bcol.dtype),
+        ds, pv = xs                                # sorted buckets, payload
+        # STEP-MAJOR gather order: row j*lanes + l = sorted position
+        # l*k + j, so the prefix kernel's per-step block is one contiguous
+        # 128*lanes-byte DMA and the limb retile happens in VMEM
+        # (prefix_signed). The only XLA transpose left is the 4-byte
+        # payload — barriered so the gather reads materialized indices
+        # (a fused transposed-index read de-vectorizes the gather), and
+        # the source is RANK-2 (N, words): XLA:TPU's fast row-gather
+        # emitter does not fire for rank-4 operands (measured 1 ns/row
+        # rank-2 vs ~30 ns/row rank-4, scripts/gather_prof.py).
+        pv_t = jax.lax.optimization_barrier(
+            pv.reshape(lanes, k).T.reshape(-1))
+        order_t = pv_t & jnp.uint32(0x7FFFFFFF)
+        sg_t = pv_t >> 31
+        rs_t = jnp.take(xy.reshape(N, -1), order_t, axis=0)  # (N, words)
+        starts = jnp.searchsorted(ds, jnp.arange(nq, dtype=ds.dtype),
                                   side="left")    # (nq,)
-        pr = be.prefix(rs, k, mixed=True)          # within-chunk inclusive
+        pr = be.prefix_signed(rs_t, sg_t, k)       # within-chunk inclusive
         idx = jnp.clip(starts - 1, 0, N - 1)
-        wvals = jnp.take(pr, idx, axis=0)          # (nq, 3, ncomp, L)
+        # rank-2 view for the boundary gathers (fast row-gather emitter)
+        prf = pr.reshape(N, -1)
+        point = pr.shape[1:]
+        wvals = jnp.take(prf, idx, axis=0).reshape((nq,) + point)
         cids = idx // k
         zmask = starts == 0
-        totals = jnp.take(pr, (jnp.arange(lanes) + 1) * k - 1, axis=0)
+        totals = jnp.take(prf, (jnp.arange(lanes) + 1) * k - 1,
+                          axis=0).reshape((lanes,) + point)
         return None, (wvals, cids, zmask, totals)
 
     _, (WV, CID, ZM, TOT) = jax.lax.scan(
         per_window, None,
-        (orders.T, neg.T, bucket.T))
+        (skeys.T, svals.T))
     # WV (W, nq, 3, ncomp, L); TOT (W, lanes, 3, ncomp, L)
 
     # ---- cross-chunk exclusive prefix of the `lanes` chunk totals, all
@@ -886,9 +1031,12 @@ def window_sums(rows, scalar_limbs, c, be, split_gather=True):
     l1_rows = _pad_rows(TOT.reshape(W * lanes, 3, ncomp, NLIMB),
                         lanes * 32)
     l1 = be.prefix(l1_rows, 32, mixed=False)
-    gtot = l1[jnp.arange(W * GA) * 32 + 31]        # (W*GA,) group totals
+    pt = (3, ncomp, NLIMB)
+    l1f = l1.reshape(l1.shape[0], -1)              # rank-2 gather sources
+    gtot = l1f[jnp.arange(W * GA) * 32 + 31].reshape((W * GA,) + pt)
     l2_rows = _pad_rows(gtot, lanes * GA)
     l2 = be.prefix(l2_rows, GA, mixed=False)       # lane w, element g
+    l2f = l2.reshape(l2.shape[0], -1)
 
     # excl[w, chunk=g*32+e] = l1[e-1 @ lane w*GA+g] + l2[g-1 @ lane w]
     wi = jnp.arange(W)[:, None]
@@ -896,18 +1044,18 @@ def window_sums(rows, scalar_limbs, c, be, split_gather=True):
     g, e = ch // 32, ch % 32
     a_idx = ((wi * GA + g) * 32 + (e - 1)).reshape(-1)
     e_mask = jnp.broadcast_to(e == 0, (W, lanes)).reshape(-1)
-    a = jnp.take(l1, jnp.clip(a_idx, 0, None), axis=0)
-    a = jnp.where(e_mask[:, None, None, None], jnp.zeros_like(a), a)
+    a = jnp.take(l1f, jnp.clip(a_idx, 0, None), axis=0)
+    a = jnp.where(e_mask[:, None], jnp.zeros_like(a), a)
     b_idx = (wi * GA + (g - 1)).reshape(-1)
     g_mask = jnp.broadcast_to(g == 0, (W, lanes)).reshape(-1)
-    b = jnp.take(l2, jnp.clip(b_idx, 0, None), axis=0)
-    b = jnp.where(g_mask[:, None, None, None], jnp.zeros_like(b), b)
-    excl = be.addn(a, b).reshape(W, lanes, 3, ncomp, NLIMB)
+    b = jnp.take(l2f, jnp.clip(b_idx, 0, None), axis=0)
+    b = jnp.where(g_mask[:, None], jnp.zeros_like(b), b)
+    excl = be.addn(a.reshape((W * lanes,) + pt), b.reshape((W * lanes,) + pt))
 
     # ---- E[i] at bucket boundaries; B_j = E[start_{j+1}] - E[start_j] ----
-    ex_at = jnp.take_along_axis(
-        excl, CID[:, :, None, None, None], axis=1)   # (W, nq, 3, ncomp, L)
-    E = be.addn(ex_at.reshape(W * nq, 3, ncomp, NLIMB),
+    exf = excl.reshape(W * lanes, -1)
+    ex_at = jnp.take(exf, (wi * lanes + CID).reshape(-1), axis=0)
+    E = be.addn(ex_at.reshape((W * nq,) + pt),
                 WV.reshape(W * nq, 3, ncomp, NLIMB))
     E = E.reshape(W, nq, 3, ncomp, NLIMB)
     E = jnp.where(ZM[:, :, None, None, None], jnp.zeros_like(E), E)
@@ -938,22 +1086,21 @@ def window_sums(rows, scalar_limbs, c, be, split_gather=True):
     return be.scale_add(mT, sU, L.bit_length() - 1)   # (W, 3, ncomp, L)
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5, 6, 7, 8))
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5, 6, 7))
 def _msm_rows(rows, scalar_limbs, c, backend, interpret, lanes, complete,
-              limb15=False, split_gather=True):
+              limb15=False):
     """rows: uint32[N, 3, ncomp, 16] Jacobian Montgomery points with Z in
     {R, 0}; scalar_limbs: uint32[N, 16] plain. N must be a multiple of
     ``lanes``. Returns the MSM as one point row (3, ncomp, 16)."""
     be = make_backend(backend, rows.shape[2], interpret, lanes, complete,
                       limb15)
-    S = window_sums(rows, scalar_limbs, c, be, split_gather)
+    S = window_sums(rows, scalar_limbs, c, be)
     return be.horner(S, c)                         # (3, ncomp, L)
 
 
 def msm_grid_g1(points, scalar_limbs, c: int = 13, backend: str = "pallas",
                 interpret: bool = False, lanes: int = TILE_N,
-                complete: bool = True, limb15: bool = False,
-                split_gather: bool = True):
+                complete: bool = True, limb15: bool = False):
     """Grid-accumulator MSM over G1.
 
     points: (X, Y, Z) uint32[N, 16] Montgomery Jacobian with Z in {R, 0}
@@ -965,14 +1112,13 @@ def msm_grid_g1(points, scalar_limbs, c: int = 13, backend: str = "pallas",
     X, Y, Z = points
     rows = jnp.stack([X, Y, Z], axis=1)[:, :, None, :]
     out = _msm_rows(rows, jnp.asarray(scalar_limbs), c, backend, interpret,
-                    lanes, complete, limb15, split_gather)
+                    lanes, complete, limb15)
     return out[0, 0], out[1, 0], out[2, 0]
 
 
 def msm_grid_g2(points, scalar_limbs, c: int = 13, backend: str = "pallas",
                 interpret: bool = False, lanes: int = TILE_N,
-                complete: bool = True, limb15: bool = False,
-                split_gather: bool = True):
+                complete: bool = True, limb15: bool = False):
     """Grid-accumulator MSM over G2 (coordinates in Fp2).
 
     points: (X, Y, Z) uint32[N, 2, 16] Montgomery Jacobian (Z in {R, 0}).
@@ -981,7 +1127,7 @@ def msm_grid_g2(points, scalar_limbs, c: int = 13, backend: str = "pallas",
     X, Y, Z = points
     rows = jnp.stack([X, Y, Z], axis=1)
     out = _msm_rows(rows, jnp.asarray(scalar_limbs), c, backend, interpret,
-                    lanes, complete, limb15, split_gather)
+                    lanes, complete, limb15)
     return out[0], out[1], out[2]
 
 
