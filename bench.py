@@ -81,11 +81,22 @@ def bench_msm(log2n, c=13, iters=3):
     ks = [rng.randrange(0, FR_MOD) for _ in range(n)]
     X, Y, Z = G1.from_affine_ints([p[0] for p in aff], [p[1] for p in aff])
 
-    # correctness cross-check on the first run
+    # Whole iteration as ONE dispatch: points and scalar limbs stay
+    # device-resident; each timed run rotates the scalar<->point pairing
+    # on device (a genuinely different MSM — no cache can short-circuit)
+    # instead of re-uploading 64 MB of fresh limbs through the tunnel,
+    # which is bench-harness overhead, not MSM work (a prover's scalars
+    # are produced on device / per-proof witnesses are ~300 KB).
+    @functools.partial(jax.jit, static_argnums=(4,))
+    def run(X, Y, Z, lm, c, shift):
+        lm = jnp.roll(lm, shift, axis=0)
+        o = mg.msm_grid_g1((X, Y, Z), lm, c=c, backend="pallas",
+                           complete=False,   # prover mode (see grid._finish)
+                           limb15=True)      # 15-bit-limb prefix kernels
+        return o
+
     limbs = jnp.asarray(ints_to_limbs(ks))
-    out = mg.msm_grid_g1((X, Y, Z), limbs, c=c, backend="pallas",
-                         complete=False,   # prover mode (see grid._finish)
-                         limb15=True)      # 15-bit-limb prefix kernels
+    out = run(X, Y, Z, limbs, c, 0)          # compile + correctness check
     xs, ys = G1.to_affine_ints(tuple(np.asarray(r)[None] for r in out))
     got = (int(np.asarray(xs).reshape(-1)[0]),
            int(np.asarray(ys).reshape(-1)[0]))
@@ -94,12 +105,9 @@ def bench_msm(log2n, c=13, iters=3):
 
     times = []
     for it in range(iters):
-        ks2 = [(k + it + 1) % FR_MOD for k in ks]
-        lm = jnp.asarray(ints_to_limbs(ks2))
         t0 = time.time()
-        o = mg.msm_grid_g1((X, Y, Z), lm, c=c, backend="pallas",
-                           complete=False, limb15=True)
-        int(jax.device_get(jnp.sum(o[0])))
+        o = run(X, Y, Z, limbs, c, jnp.uint32(it + 1))
+        jax.device_get(o[0])       # 64-byte fetch; awaits the whole graph
         times.append(time.time() - t0)
     return n / min(times)
 

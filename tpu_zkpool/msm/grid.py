@@ -476,11 +476,13 @@ def _prefix_tiles(tiles, mixed, complete, interpret=False, limb15=False):
     )(tiles)
 
 
-def _make_wsum_kernel(ncomp, complete):
+def _make_wsum_kernel(ncomp, complete, limb15=False):
     """Weighted suffix reduction: over L grid steps fed B[L-1-j], maintains
     acc = running sum and tot = sum of running sums, so after the last step
-    acc = sum_l B_l and tot = sum_l (l+1) * B_l. Emits both."""
-    F = _field(ncomp)
+    acc = sum_l B_l and tot = sum_l (l+1) * B_l. Emits both. With
+    ``limb15=True`` both accumulators live in the 17x15-bit R' domain
+    (same load/store conversion discipline as the prefix kernels)."""
+    F = l15.field15(ncomp) if limb15 else _field(ncomp)
 
     def kernel(in_ref, out_ref, acc_ref, tot_ref):
         j = pl.program_id(0)
@@ -490,34 +492,45 @@ def _make_wsum_kernel(ncomp, complete):
             _zero_ref(acc_ref)
             _zero_ref(tot_ref)
 
-        acc = _padd(F, _load(acc_ref, ncomp), _load(in_ref.at[0], ncomp),
-                    complete)
-        tot = _padd(F, _load(tot_ref, ncomp), acc, complete)
-        _store(acc_ref, acc, ncomp)
-        _store(tot_ref, tot, ncomp)
+        nl = l15.NL if limb15 else NLIMB
+        Q = _load(in_ref.at[0], ncomp)
+        if limb15:
+            Q = tuple([l15.load15_from16(comp) for comp in coord]
+                      for coord in Q)
+        acc = _padd(F, _load(acc_ref, ncomp, nlimb=nl), Q, complete)
+        tot = _padd(F, _load(tot_ref, ncomp, nlimb=nl), acc, complete)
+        _store(acc_ref, acc, ncomp, nlimb=nl)
+        _store(tot_ref, tot, ncomp, nlimb=nl)
 
         @pl.when(j == pl.num_programs(0) - 1)
         def _():
-            _store(out_ref.at[0], acc, ncomp)
-            _store(out_ref.at[1], tot, ncomp)
+            a, t = acc, tot
+            if limb15:
+                a = tuple([l15.store16_from15(comp) for comp in coord]
+                          for coord in a)
+                t = tuple([l15.store16_from15(comp) for comp in coord]
+                          for coord in t)
+            _store(out_ref.at[0], a, ncomp)
+            _store(out_ref.at[1], t, ncomp)
 
     return kernel
 
 
-def _wsum_tiles(tiles, complete, interpret=False):
+def _wsum_tiles(tiles, complete, interpret=False, limb15=False):
     L, _, ncomp, _, nt = tiles.shape[:5]
+    nl = l15.NL if limb15 else NLIMB
     blk = (1, 3, ncomp, NLIMB, nt) + TILE
     out_blk = (2, 3, ncomp, NLIMB, nt) + TILE
     return pl.pallas_call(
-        _make_wsum_kernel(ncomp, complete),
+        _make_wsum_kernel(ncomp, complete, limb15),
         grid=(L,),
         in_specs=[pl.BlockSpec(blk, lambda j: (j, 0, 0, 0, 0, 0, 0),
                                memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec(out_blk, lambda j: (0, 0, 0, 0, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((2,) + tiles.shape[1:], jnp.uint32),
-        scratch_shapes=[pltpu.VMEM((3, ncomp, NLIMB, nt) + TILE, jnp.uint32),
-                        pltpu.VMEM((3, ncomp, NLIMB, nt) + TILE, jnp.uint32)],
+        scratch_shapes=[pltpu.VMEM((3, ncomp, nl, nt) + TILE, jnp.uint32),
+                        pltpu.VMEM((3, ncomp, nl, nt) + TILE, jnp.uint32)],
         interpret=interpret,
     )(tiles)
 
@@ -734,7 +747,7 @@ class PallasBackend:
                         ((0, 0), (0, lanes - nl)) + ((0, 0),) * 3)
         tiles = steps.reshape(L, nt, 8, 128, 3, ncomp, NLIMB).transpose(
             0, 4, 5, 6, 1, 2, 3)
-        out = _wsum_tiles(tiles, True, self.interpret)
+        out = _wsum_tiles(tiles, True, self.interpret, self.limb15)
         return (_tile_to_lane_rows(out[0], nl),
                 _tile_to_lane_rows(out[1], nl))
 
@@ -848,6 +861,12 @@ class XlaBackend:
 # --------------------------------------------------------------------------
 # Signed window digits.
 # --------------------------------------------------------------------------
+
+
+def _take0(a, idx):
+    """Row gather with in-bounds promise (no OOB select_n/fill lanes;
+    jnp.take's mode= does not accept promise_in_bounds)."""
+    return a.at[idx].get(mode="promise_in_bounds")
 
 
 def n_windows(c: int) -> int:
@@ -985,42 +1004,53 @@ def _window_sums_one(rows, scalar_limbs, c, be):
     payload = (jnp.arange(N, dtype=jnp.uint32)[:, None]
                | (neg.astype(jnp.uint32) << 31))   # (N, W)
     skeys, svals = jax.lax.sort((bucket, payload), dimension=0, num_keys=1)
+    # ONE transpose to step-major payload for all windows (the per-window
+    # (lanes, k) transpose inside the scan cost 135 us/window at 2^17;
+    # this 3-D copy replaces 160 of them with 8 at 2^20).
+    svals_t = svals.reshape(lanes, k, W).transpose(2, 1, 0)  # (W, k, lanes)
 
     nq = half + 2                                  # boundary queries 0..half+1
+    HI = (half >> 6) + 1                           # hi-radix histogram bins
 
     def per_window(_, xs):
-        ds, pv = xs                                # sorted buckets, payload
+        ds, pv_t = xs                              # sorted buckets, payload
         # STEP-MAJOR gather order: row j*lanes + l = sorted position
         # l*k + j, so the prefix kernel's per-step block is one contiguous
         # 128*lanes-byte DMA and the limb retile happens in VMEM
-        # (prefix_signed). The only XLA transpose left is the 4-byte
-        # payload — barriered so the gather reads materialized indices
-        # (a fused transposed-index read de-vectorizes the gather), and
-        # the source is RANK-2 (N, words): XLA:TPU's fast row-gather
-        # emitter does not fire for rank-4 operands (measured 1 ns/row
-        # rank-2 vs ~30 ns/row rank-4, scripts/gather_prof.py).
-        pv_t = jax.lax.optimization_barrier(
-            pv.reshape(lanes, k).T.reshape(-1))
+        # (prefix_signed). The source is RANK-2 (N, words): XLA:TPU's fast
+        # row-gather emitter does not fire for rank-4 operands (measured
+        # 1 ns/row rank-2 vs ~30 ns/row rank-4, scripts/gather_prof.py),
+        # and the permutation indices are in-bounds by construction.
+        pv_t = pv_t.reshape(-1)
         order_t = pv_t & jnp.uint32(0x7FFFFFFF)
         sg_t = pv_t >> 31
-        rs_t = jnp.take(xy.reshape(N, -1), order_t, axis=0)  # (N, words)
-        starts = jnp.searchsorted(ds, jnp.arange(nq, dtype=ds.dtype),
-                                  side="left")    # (nq,)
+        rs_t = _take0(xy.reshape(N, -1), order_t)   # (N, words)
+        # starts[v] = #keys < v via an MXU radix histogram (v = hi*64+lo,
+        # one-hot int8 dot -> exact int32 counts) + exclusive cumsum; the
+        # vmapped-binary-search searchsorted this replaces was 21% of
+        # device self-time at 2^20 (80 ms of 4098-row boundary gathers).
+        hi8 = jax.nn.one_hot(ds >> 6, HI, dtype=jnp.int8)
+        lo8 = jax.nn.one_hot(ds & 63, 64, dtype=jnp.int8)
+        counts = jax.lax.dot_general(hi8, lo8, (((0,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.int32)
+        cum = jnp.cumsum(counts.reshape(-1))
+        starts = jnp.concatenate(
+            [jnp.zeros(1, jnp.int32), cum])[:nq]   # (nq,)
         pr = be.prefix_signed(rs_t, sg_t, k)       # within-chunk inclusive
         idx = jnp.clip(starts - 1, 0, N - 1)
         # rank-2 view for the boundary gathers (fast row-gather emitter)
         prf = pr.reshape(N, -1)
         point = pr.shape[1:]
-        wvals = jnp.take(prf, idx, axis=0).reshape((nq,) + point)
+        wvals = _take0(prf, idx).reshape((nq,) + point)
         cids = idx // k
         zmask = starts == 0
-        totals = jnp.take(prf, (jnp.arange(lanes) + 1) * k - 1,
-                          axis=0).reshape((lanes,) + point)
+        totals = _take0(prf, (jnp.arange(lanes) + 1) * k - 1).reshape(
+            (lanes,) + point)
         return None, (wvals, cids, zmask, totals)
 
     _, (WV, CID, ZM, TOT) = jax.lax.scan(
         per_window, None,
-        (skeys.T, svals.T))
+        (skeys.T, svals_t))
     # WV (W, nq, 3, ncomp, L); TOT (W, lanes, 3, ncomp, L)
 
     # ---- cross-chunk exclusive prefix of the `lanes` chunk totals, all
@@ -1044,17 +1074,17 @@ def _window_sums_one(rows, scalar_limbs, c, be):
     g, e = ch // 32, ch % 32
     a_idx = ((wi * GA + g) * 32 + (e - 1)).reshape(-1)
     e_mask = jnp.broadcast_to(e == 0, (W, lanes)).reshape(-1)
-    a = jnp.take(l1f, jnp.clip(a_idx, 0, None), axis=0)
+    a = _take0(l1f, jnp.clip(a_idx, 0, None))
     a = jnp.where(e_mask[:, None], jnp.zeros_like(a), a)
     b_idx = (wi * GA + (g - 1)).reshape(-1)
     g_mask = jnp.broadcast_to(g == 0, (W, lanes)).reshape(-1)
-    b = jnp.take(l2f, jnp.clip(b_idx, 0, None), axis=0)
+    b = _take0(l2f, jnp.clip(b_idx, 0, None))
     b = jnp.where(g_mask[:, None], jnp.zeros_like(b), b)
     excl = be.addn(a.reshape((W * lanes,) + pt), b.reshape((W * lanes,) + pt))
 
     # ---- E[i] at bucket boundaries; B_j = E[start_{j+1}] - E[start_j] ----
     exf = excl.reshape(W * lanes, -1)
-    ex_at = jnp.take(exf, (wi * lanes + CID).reshape(-1), axis=0)
+    ex_at = _take0(exf, (wi * lanes + CID).reshape(-1))
     E = be.addn(ex_at.reshape((W * nq,) + pt),
                 WV.reshape(W * nq, 3, ncomp, NLIMB))
     E = E.reshape(W, nq, 3, ncomp, NLIMB)
