@@ -1,13 +1,28 @@
 #!/usr/bin/env python3
 """Headline benchmark sweep on one TPU chip.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extra"}.
+Prints the headline JSON line {"metric", "value", "unit", "vs_baseline",
+"extra"} INCREMENTALLY — re-emitted after every completed metric, so the
+tail of stdout always carries the best snapshot even if the driver's
+wall-clock budget expires mid-sweep (round-2 lesson: an all-or-nothing
+benchmark recorded nothing, VERDICT.md weak #1).
+
 Headline = grid-MSM throughput at 2^20 BN254 points (the BASELINE.md
 flagship metric); ``extra`` records the full sweep (Poseidon, RLWE
-polymuls, batched Groth16 verify, 2^17 MSM). vs_baseline for the MSM is
-measured against the repo's own single-core native C++ Pippenger — the
-reference's actual prover substrate class (gnark on CPU; the reference
-publishes no numbers, SURVEY.md §6).
+polymuls, Groth16 prove / prove_batch / batched verify, 2^17 MSM).
+vs_baseline for the MSM is measured against the repo's own single-core
+native C++ Pippenger — the reference's actual prover substrate class
+(gnark on CPU; the reference publishes no numbers, SURVEY.md §6).
+
+Budgeting:
+- One GLOBAL wall-clock budget (env BENCH_BUDGET_S, default 1800 s);
+  metrics that would start with <45 s remaining are skipped, not started.
+- Each metric still runs in its own subprocess with a per-metric cap, so
+  one pathological cold compile (10-60 min through the axon tunnel when
+  the persistent cache misses) costs at most its own slot.
+- The MSM correctness check uses the precommitted oracle points in
+  bench_expected.json (tpu_zkpool/benchvec.py) instead of a ~45 s live
+  native-oracle run at 2^20.
 
 Measurement notes for this environment (axon-tunneled TPU):
 - ``block_until_ready`` does not block on actual remote execution; a
@@ -18,7 +33,7 @@ Measurement notes for this environment (axon-tunneled TPU):
 
 import functools
 import json
-import random
+import os
 import sys
 import time
 
@@ -69,16 +84,13 @@ def bench_poseidon():
 
 def bench_msm(log2n, c=13, iters=3):
     from tpu_zkpool.curve.weierstrass import G1
-    from tpu_zkpool.fields.bn254 import FR_MOD
     from tpu_zkpool.fields.limbs import ints_to_limbs
-    from tpu_zkpool import native_bridge
+    from tpu_zkpool import benchvec, native_bridge
     from tpu_zkpool.msm import grid as mg
 
     n = 1 << log2n
-    rng = random.Random(7)
-    base = [rng.randrange(1, 1 << 62) for _ in range(n)]
+    base, ks = benchvec.msm_inputs(log2n)
     aff = native_bridge.g1_gen_mul_batch(base)
-    ks = [rng.randrange(0, FR_MOD) for _ in range(n)]
     X, Y, Z = G1.from_affine_ints([p[0] for p in aff], [p[1] for p in aff])
 
     # Whole iteration as ONE dispatch: points and scalar limbs stay
@@ -100,8 +112,10 @@ def bench_msm(log2n, c=13, iters=3):
     xs, ys = G1.to_affine_ints(tuple(np.asarray(r)[None] for r in out))
     got = (int(np.asarray(xs).reshape(-1)[0]),
            int(np.asarray(ys).reshape(-1)[0]))
-    exp = native_bridge.g1_msm(ks, aff)   # full native oracle (~45 s at 2^20)
-    assert got == exp, "TPU MSM != native oracle"
+    exp = benchvec.load_expected(log2n)
+    if exp is None:                          # no committed point: live oracle
+        exp = native_bridge.g1_msm(ks, aff)
+    assert got == tuple(exp), "TPU MSM != committed native-oracle point"
 
     times = []
     for it in range(iters):
@@ -141,25 +155,31 @@ def bench_rlwe(batch=4096, iters=3):
 
 # ----------------------------------------------------------- groth16 prove
 
+def _withdraw_setup():
+    sys.path.insert(0, "/root/repo/tests")
+    import vectors
+    from tpu_zkpool.groth16.acir import load_artifact
+    from tpu_zkpool.groth16 import solver_native as solver
+    from tpu_zkpool.groth16 import r1cs as r1cs_mod
+    from tpu_zkpool.groth16.cache import cached_setup
+
+    abi, prog = load_artifact(vectors.WITHDRAW_ARTIFACT)
+    ar = r1cs_mod.convert(prog)
+    w = r1cs_mod.build_witness(ar, solver.solve(prog, vectors.withdraw_inputs()))
+    pk, vk = cached_setup(ar.r1cs)
+    return ar, w, pk, vk
+
+
 def bench_groth16_prove(iters=3):
     """Warm device-prover throughput on the committed withdraw circuit
     (8,899 R1CS rows after the sk*G gadget): 4 G1 grid MSMs + the G2 MSM +
     the H(X) NTT on chip. Each proof uses a fresh seed (fresh r/s blinding)
     so no tunnel cache can short-circuit the run; the first proof is
     verified on the host."""
-    import os
-    sys.path.insert(0, "/root/repo/tests")
-    import vectors
-    from tpu_zkpool.groth16.acir import load_artifact
-    from tpu_zkpool.groth16 import solver_native as solver
-    from tpu_zkpool.groth16 import r1cs as r1cs_mod, prove_tpu
-    from tpu_zkpool.groth16.cache import cached_setup
+    from tpu_zkpool.groth16 import prove_tpu
     from tpu_zkpool.refimpl import groth16_ref as g16
 
-    abi, prog = load_artifact(vectors.WITHDRAW_ARTIFACT)
-    ar = r1cs_mod.convert(prog)
-    w = r1cs_mod.build_witness(ar, solver.solve(prog, vectors.withdraw_inputs()))
-    pk, vk = cached_setup(ar.r1cs)
+    ar, w, pk, vk = _withdraw_setup()
     dpk = prove_tpu.DeviceProvingKey(pk, backend="pallas", complete=True)
     proof = prove_tpu.prove(dpk, ar.r1cs, w, seed=100)   # compile + warm
     assert g16.verify(vk, proof, w[1:ar.r1cs.num_public])
@@ -176,20 +196,11 @@ def bench_groth16_prove_batch(B=4, iters=3):
     legs of every proof dispatched before any fetch), fresh witnesses per
     proof via the native solver. The payroll scenario
     (client/payroll-demo.ts:326-350) at framework scale."""
-    sys.path.insert(0, "/root/repo/tests")
-    import vectors
-    from tpu_zkpool.groth16.acir import load_artifact
-    from tpu_zkpool.groth16 import solver_native as solver
-    from tpu_zkpool.groth16 import r1cs as r1cs_mod, prove_tpu
-    from tpu_zkpool.groth16.cache import cached_setup
+    from tpu_zkpool.groth16 import prove_tpu
     from tpu_zkpool.refimpl import groth16_ref as g16
 
-    abi, prog = load_artifact(vectors.WITHDRAW_ARTIFACT)
-    ar = r1cs_mod.convert(prog)
-    pk, vk = cached_setup(ar.r1cs)
+    ar, w, pk, vk = _withdraw_setup()
     dpk = prove_tpu.DeviceProvingKey(pk, backend="pallas", complete=True)
-    w = r1cs_mod.build_witness(
-        ar, solver.solve(prog, vectors.withdraw_inputs()))
     ws = [w] * B
     proofs = prove_tpu.prove_batch(dpk, ar.r1cs, ws, seed=300)  # warm
     assert g16.verify(vk, proofs[0], w[1:ar.r1cs.num_public])
@@ -203,53 +214,43 @@ def bench_groth16_prove_batch(B=4, iters=3):
 
 # ---------------------------------------------------------- groth16 verify
 
-def bench_verify_batch(B=4):
-    from tpu_zkpool.refimpl.groth16_ref import R1CS, setup, prove
-    from tpu_zkpool.groth16 import verify_tpu
-    from tpu_zkpool.fields.bn254 import FR_MOD as R
+def bench_verify_batch(B=32):
+    """Batched verify of B REAL withdraw-circuit proofs (the committed
+    8,899-row circuit's VK — not a toy R1CS): proofs come from the device
+    prover with distinct blinding seeds, then verify_batch folds all
+    Miller loops into one shared final exponentiation on chip. This is the
+    on-chain per-proof verify of withdraw.rs:163-175, batched chip-wide."""
+    from tpu_zkpool.groth16 import prove_tpu, verify_tpu
 
-    r1cs = R1CS(num_vars=5, num_public=2,
-                a_rows=[{2: 1}, {3: 1}, {}],
-                b_rows=[{2: 1}, {2: 1}, {0: 1}],
-                c_rows=[{3: 1}, {4: 1},
-                        {1: 1, 4: -1 % R, 2: -1 % R, 0: -5 % R}])
-    pk, vk = setup(r1cs)
-    proofs, pubs = [], []
-    for x in range(3, 3 + B):
-        w = [1, x**3 + x + 5, x, x * x, x**3]
-        proofs.append(prove(pk, r1cs, w, seed=x))
-        pubs.append([w[1]])
+    ar, w, pk, vk = _withdraw_setup()
+    dpk = prove_tpu.DeviceProvingKey(pk, backend="pallas", complete=True)
+    proofs = prove_tpu.prove_batch(dpk, ar.r1cs, [w] * B, seed=900)
+    pubs = [w[1:ar.r1cs.num_public]] * B
+    ok = verify_tpu.verify_batch(vk, proofs, pubs)   # compile + warm
+    assert ok.all()
     t0 = time.time()
     ok = verify_tpu.verify_batch(vk, proofs, pubs)
     assert ok.all()
-    warm = time.time() - t0
-    if warm > 60:          # don't pay a second slow pass; report the warm one
-        return B / warm
-    t0 = time.time()
-    ok = verify_tpu.verify_batch(vk, proofs, pubs)
-    dt = time.time() - t0
-    return B / min(warm, dt)
+    return B / (time.time() - t0)
 
 
 # ------------------------------------------------------------ orchestration
 #
-# Each metric runs in its OWN subprocess with a per-metric timeout: first-run
-# kernel compiles through the tunnel can take 10-60+ min when the persistent
-# compile cache misses (observed when the tunnel identity changes between
-# sessions), and one pathological compile must not blank the whole
-# benchmark. The parent assembles whatever completed into the single JSON
-# line; a killed/timed-out metric records an error string instead.
+# Each metric runs in its OWN subprocess with a per-metric cap; the parent
+# enforces one global budget and re-emits the headline JSON line after
+# every metric so partial sweeps still land in the driver log tail.
 
-# (name, key, timeout_s) — ordered headline-first so the flagship numbers
-# land even if a later metric exhausts the clock.
+# (name, key, per-metric cap seconds) — headline-adjacent metrics first.
+# poseidon leads: it compiles in ~1 min even cold, guaranteeing at least
+# one emitted result line almost immediately.
 METRICS = [
-    ("poseidon", "poseidon_hashes_per_s", 2400),
-    ("msm20", f"msm_g1_2e{MSM_LOG2N}_pts_per_s", 5400),
-    ("msm17", "msm_g1_2e17_pts_per_s", 3600),
-    ("rlwe", "rlwe_polymul_1024_per_s", 1800),
-    ("verify", "groth16_verify_batch_per_s", 3600),
-    ("prove", "groth16_prove_withdraw_per_s", 7200),
-    ("prove_batch", "groth16_prove_batch4_per_s", 3600),
+    ("poseidon", "poseidon_hashes_per_s", 420),
+    ("msm20", f"msm_g1_2e{MSM_LOG2N}_pts_per_s", 1500),
+    ("msm17", "msm_g1_2e17_pts_per_s", 900),
+    ("rlwe", "rlwe_polymul_1024_per_s", 420),
+    ("prove", "groth16_prove_withdraw_per_s", 1500),
+    ("prove_batch", "groth16_prove_batch4_per_s", 900),
+    ("verify", "groth16_verify_batch32_per_s", 900),
 ]
 
 
@@ -271,6 +272,29 @@ def run_metric(name):
     raise ValueError(name)
 
 
+def emit(extra):
+    """Print the headline JSON line from whatever has completed so far."""
+    msm20 = extra.get(f"msm_g1_2e{MSM_LOG2N}_pts_per_s")
+    if msm20 is not None:
+        line = {
+            "metric": f"msm_g1_2e{MSM_LOG2N}_points_per_s",
+            "value": msm20,
+            "unit": "pts/s",
+            "vs_baseline": round(msm20 / BASE_MSM_NATIVE, 3),
+            "extra": dict(extra),
+        }
+    else:
+        pos = extra.get("poseidon_hashes_per_s", 0.0)
+        line = {
+            "metric": "poseidon_hashes_per_s_per_chip",
+            "value": pos,
+            "unit": "hashes/s",
+            "vs_baseline": round(pos / BASE_POSEIDON, 4),
+            "extra": dict(extra),
+        }
+    print(json.dumps(line), flush=True)
+
+
 def main():
     if len(sys.argv) > 2 and sys.argv[1] == "--metric":
         try:
@@ -280,8 +304,15 @@ def main():
         return
 
     import subprocess
-    extra = {}
-    for name, key, tmo in METRICS:
+    budget = float(os.environ.get("BENCH_BUDGET_S", "1800"))
+    deadline = time.time() + budget
+    extra = {"budget_s": budget}
+    for name, key, cap in METRICS:
+        remaining = deadline - time.time()
+        if remaining < 45:
+            extra[f"{name}_error"] = "skipped: global budget exhausted"
+            continue
+        tmo = min(cap, remaining)
         t0 = time.time()
         try:
             out = subprocess.run(
@@ -296,27 +327,9 @@ def main():
                        (out.stderr.strip().splitlines() or ["no output"])[-1])
                 extra[f"{name}_error"] = msg[:200]
         except subprocess.TimeoutExpired:
-            extra[f"{name}_error"] = f"timeout after {tmo}s"
+            extra[f"{name}_error"] = f"timeout after {int(tmo)}s"
         extra[f"{name}_wall_s"] = round(time.time() - t0, 1)
-
-    msm20 = extra.get(f"msm_g1_2e{MSM_LOG2N}_pts_per_s")
-    if msm20 is not None:
-        print(json.dumps({
-            "metric": f"msm_g1_2e{MSM_LOG2N}_points_per_s",
-            "value": msm20,
-            "unit": "pts/s",
-            "vs_baseline": round(msm20 / BASE_MSM_NATIVE, 3),
-            "extra": extra,
-        }))
-    else:
-        pos = extra.get("poseidon_hashes_per_s", 0.0)
-        print(json.dumps({
-            "metric": "poseidon_hashes_per_s_per_chip",
-            "value": pos,
-            "unit": "hashes/s",
-            "vs_baseline": round(pos / BASE_POSEIDON, 4),
-            "extra": extra,
-        }))
+        emit(extra)
 
 
 if __name__ == "__main__":
