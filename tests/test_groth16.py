@@ -132,6 +132,25 @@ def test_groth16_commitment_roundtrip():
     assert not verify(vk, (A, B2, C, pr.g1_add(cm2, G1_GEN), pok2), [w[1]])
     assert not verify(vk, (A, B2, C), [w[1]])  # commitment required
 
+    # 388-byte wire-format e2e (withdraw.rs:13 layout): emit -> parse ->
+    # verify the parsed points — the full byte path a relayer would ship.
+    raw = emit_proof(A, B2, C, [cm2], pok2)
+    assert len(raw) == 388
+    pf = parse_proof(raw)
+    assert verify(vk, (pf.ar, pf.bs, pf.krs, pf.commitments[0], pf.pok),
+                  [w[1]])
+
+    # DST pin is load-bearing (VERDICT round-2 item 4): re-deriving the
+    # commitment hash under ANY other domain tag must reject the proof.
+    orig = pedersen.commitment_to_field
+    try:
+        pedersen.commitment_to_field = lambda cm: pedersen.hash_to_field(
+            pedersen.g1_marshal(cm), b"not-the-gnark-dst")
+        assert not verify(vk, proof, [w[1]])
+    finally:
+        pedersen.commitment_to_field = orig
+    assert verify(vk, proof, [w[1]])
+
 
 def test_cached_setup_roundtrip(tmp_path, tiny):
     """pk/vk cache keyed by circuit hash (reference prove_linux.sh:66-79
