@@ -76,3 +76,43 @@ def test_full_journey(server):
     assert len(audits) == 1
 
     assert call(server, "GET", "/api/nope")[0] == 404
+
+
+def test_groth16_prover_journey(tmp_path):
+    """C26 with the REAL prover (VERDICT round-2 weak #5): the withdraw
+    endpoint solves the committed 8,899-row circuit, produces a real
+    Groth16 proof in the 388-byte wire format, and the pool's verifier
+    callback actually verifies it (reference flow:
+    shielded-pool-card.tsx:424-514 -> withdraw.rs:163-175). A corrupted
+    proof byte must REJECT — the stub accepts anything, so this is the
+    difference under test."""
+    from tpu_zkpool.protocol import flows
+    from tpu_zkpool.protocol.state import PoolError, PROOF_LEN
+
+    app = DemoApp(store_path=str(tmp_path / "store.json"),
+                  prover="groth16", fresh=True)
+    assert app.status()["prover"] == "groth16"
+    dep = app.deposit(5_000_000)
+    wd = app.withdraw(dep["commitment"], "07" * 32)
+    assert wd["amount"] == 5_000_000 and wd["audit_was_new"]
+
+    # second deposit; prove honestly, then flip one proof byte
+    dep2 = app.deposit(3_000_000)
+    rec = app.store.get_deposit(dep2["commitment"])
+    note = flows.Note(
+        flows.Identity(int(rec.secret_key, 16), int(rec.public_key_x, 16),
+                       int(rec.public_key_y, 16)),
+        amount=int(rec.amount), randomness=int(rec.randomness, 16))
+    wit = flows.build_withdraw_witness(
+        app.tree, note, rec.leaf_index, recipient_pubkey=b"\x07" * 32,
+        amount=note.amount)
+    proof = bytearray(app._prove_withdraw(wit))
+    assert len(proof) == PROOF_LEN == 388
+    proof[5] ^= 1
+    app.pool.submit_audit(b"\x02" * PROOF_LEN, flows.audit_witness_blob(
+        int(rec.wa_commitment, 16), int(rec.ct_commitment or "0x0", 16)))
+    with pytest.raises(PoolError, match="proof verification failed"):
+        app.pool.withdraw(bytes(proof), wit.witness_blob())
+    # honest proof (unmodified) succeeds for the same witness
+    proof[5] ^= 1
+    app.pool.withdraw(bytes(proof), wit.witness_blob())

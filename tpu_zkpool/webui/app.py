@@ -86,7 +86,14 @@ class DemoApp:
         from tpu_zkpool.groth16.gnark_fmt import parse_proof
         from tpu_zkpool.refimpl import groth16_ref as g16
         *_, vk = self._groth16_ctx()
-        pf = parse_proof(proof_bytes)
+        try:
+            # malformed bytes (off-curve points, bad layout) are a
+            # verification failure, not a server crash — the reference's
+            # verifier CPI likewise just fails the instruction
+            # (withdraw.rs:163-175)
+            pf = parse_proof(proof_bytes)
+        except Exception:
+            return False
         n_pub = struct.unpack(">I", witness_bytes[:4])[0]
         vals = [int.from_bytes(witness_bytes[12 + 32 * i: 44 + 32 * i], "big")
                 for i in range(n_pub)]
