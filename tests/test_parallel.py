@@ -169,3 +169,23 @@ def test_leg_parallel_msm_vs_native():
         got = (int(np.asarray(xs).reshape(-1)[0]),
                int(np.asarray(ys).reshape(-1)[0]))
         assert got == oracle[leg], f"leg {leg} mismatch"
+
+
+def test_sharded_ntt_rdma_exchange_matches_ppermute():
+    """The double-buffered Pallas-RDMA butterfly exchange (ntt_rdma.py,
+    VERDICT round-2 item 7) is bit-exact with the ppermute path on the
+    8-device virtual mesh (interpret mode discharges the remote DMAs;
+    scripts/ntt_rdma_check.py drives the compiled kernel on real TPU)."""
+    rng = random.Random(29)
+    n, B = 1024, 8
+    x = np.array([[rng.randrange(Q) for _ in range(n)] for _ in range(B)],
+                 dtype=np.uint32)
+    mesh = _mesh(8, "sp")
+    xd = jnp.asarray(x)
+    f_rdma = np.asarray(forward_sharded(xd, mesh, exchange="rdma",
+                                        interpret=True))
+    f_ref = np.asarray(ntt.forward(xd))
+    assert (f_rdma == f_ref).all(), "rdma forward != single-chip forward"
+    back = np.asarray(inverse_sharded(jnp.asarray(f_rdma), mesh,
+                                      exchange="rdma", interpret=True))
+    assert (back == x).all(), "rdma inverse roundtrip"

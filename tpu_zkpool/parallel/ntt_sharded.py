@@ -40,7 +40,8 @@ def _local_slices(n: int, D: int):
     return (twist.reshape(D, S), untwist.reshape(D, S), fwd, inv)
 
 
-def _forward_traced(x, mesh, axis: str = "sp"):
+def _forward_traced(x, mesh, axis: str = "sp", exchange: str = "ppermute",
+                    interpret: bool = False):
     n = x.shape[-1]
     D = mesh.shape[axis]
     S = n // D
@@ -56,13 +57,23 @@ def _forward_traced(x, mesh, axis: str = "sp"):
         for st in range(n_cross):
             h = n >> (st + 1)
             hd = h // S
-            partner = [(s, s ^ hd) for s in range(D)]
-            other = jax.lax.ppermute(y, axis, partner)
             u_side = (d // hd) % 2 == 0
             # twiddle for the v-side output at local j: w^(step*((d mod hd)*S+j))
             tw_full = jnp.asarray(fwd[st])           # (h,)
             base = (d % hd) * S
             tw = jax.lax.dynamic_slice_in_dim(tw_full, base, S)
+            if exchange == "rdma":
+                from tpu_zkpool.parallel import ntt_rdma
+                B = 1
+                for dim in y.shape[:-1]:
+                    B *= dim
+                out = ntt_rdma.exchange_butterfly_rdma(
+                    y.reshape(B, S), tw, u_side, d ^ hd,
+                    interpret=interpret)
+                y = out.reshape(y.shape)
+                continue
+            partner = [(s, s ^ hd) for s in range(D)]
+            other = jax.lax.ppermute(y, axis, partner)
             s_out = rlweq.add(y, other)              # u-side output
             d_out = rlweq.mont_mul(rlweq.sub(other, y), tw)  # v-side output
             y = jnp.where(u_side, s_out, d_out)
@@ -85,7 +96,8 @@ def _forward_traced(x, mesh, axis: str = "sp"):
     )(x)
 
 
-def _inverse_traced(y, mesh, axis: str = "sp"):
+def _inverse_traced(y, mesh, axis: str = "sp", exchange: str = "ppermute",
+                    interpret: bool = False):
     n = y.shape[-1]
     D = mesh.shape[axis]
     S = n // D
@@ -116,6 +128,20 @@ def _inverse_traced(y, mesh, axis: str = "sp"):
             u_side = (d // hd) % 2 == 0
             # v-side scales its shard by the twiddle BEFORE the exchange
             mine = jnp.where(u_side, x, rlweq.mont_mul(x, tw))
+            if exchange == "rdma":
+                # same kernel as forward with tw = Montgomery one, so the
+                # v-side multiply is the identity: out = u ? m+o : o-m
+                from tpu_zkpool.parallel import ntt_rdma
+                B = 1
+                for dim in mine.shape[:-1]:
+                    B *= dim
+                one = jnp.full((S,), np.uint32(rlweq.R_MOD_Q),
+                               dtype=jnp.uint32)
+                out = ntt_rdma.exchange_butterfly_rdma(
+                    mine.reshape(B, S), one, u_side, d ^ hd,
+                    interpret=interpret)
+                x = out.reshape(mine.shape)
+                continue
             partner = [(s, s ^ hd) for s in range(D)]
             other = jax.lax.ppermute(mine, axis, partner)
             x = jnp.where(u_side, rlweq.add(mine, other),
@@ -138,43 +164,51 @@ def _inverse_traced(y, mesh, axis: str = "sp"):
 
 
 @functools.lru_cache(maxsize=None)
-def _fwd_fn(mesh, axis: str):
-    return jax.jit(lambda x: _forward_traced(x, mesh, axis))
+def _fwd_fn(mesh, axis: str, exchange: str, interpret: bool):
+    return jax.jit(
+        lambda x: _forward_traced(x, mesh, axis, exchange, interpret))
 
 
 @functools.lru_cache(maxsize=None)
-def _inv_fn(mesh, axis: str):
-    return jax.jit(lambda y: _inverse_traced(y, mesh, axis))
+def _inv_fn(mesh, axis: str, exchange: str, interpret: bool):
+    return jax.jit(
+        lambda y: _inverse_traced(y, mesh, axis, exchange, interpret))
 
 
 @functools.lru_cache(maxsize=None)
-def _mul_fn(mesh, axis: str):
+def _mul_fn(mesh, axis: str, exchange: str, interpret: bool):
     def run(a, b):
-        fa = _forward_traced(a, mesh, axis)
-        fb = _forward_traced(b, mesh, axis)
+        fa = _forward_traced(a, mesh, axis, exchange, interpret)
+        fb = _forward_traced(b, mesh, axis, exchange, interpret)
         prod = rlweq.mont_mul(fa, fb)
         prod = rlweq.mont_mul(prod, jnp.asarray(np.uint32(R2_MOD_Q)))
-        return _inverse_traced(prod, mesh, axis)
+        return _inverse_traced(prod, mesh, axis, exchange, interpret)
 
     return jax.jit(run)
 
 
-def forward_sharded(x, mesh, axis: str = "sp"):
+def forward_sharded(x, mesh, axis: str = "sp", exchange: str = "ppermute",
+                    interpret: bool = False):
     """Negacyclic forward NTT with the last axis sharded over ``axis``.
 
     x: uint32[..., n] (< q) sharded on the final axis. Returns the
-    bit-reversed-order spectrum, still sharded.
+    bit-reversed-order spectrum, still sharded. ``exchange="rdma"``
+    swaps the cross-device stages' ppermute for the double-buffered
+    Pallas remote-copy kernel (ntt_rdma.py; TPU, or interpret=True).
     """
-    return _fwd_fn(mesh, axis)(x)
+    return _fwd_fn(mesh, axis, exchange, interpret)(x)
 
 
-def inverse_sharded(y, mesh, axis: str = "sp"):
+def inverse_sharded(y, mesh, axis: str = "sp", exchange: str = "ppermute",
+                    interpret: bool = False):
     """Inverse of :func:`forward_sharded` (sharded in, sharded out)."""
-    return _inv_fn(mesh, axis)(y)
+    return _inv_fn(mesh, axis, exchange, interpret)(y)
 
 
-def negacyclic_mul_sharded(a, b, mesh, axis: str = "sp"):
+def negacyclic_mul_sharded(a, b, mesh, axis: str = "sp",
+                           exchange: str = "ppermute",
+                           interpret: bool = False):
     """Sharded negacyclic polynomial product: coefficient axis stays
     sharded end-to-end (2 log2(D) exchanges per transform), as ONE
     jitted program."""
-    return _mul_fn(mesh, axis)(a, b)
+    return _mul_fn(mesh, axis, exchange, interpret)(a, b)
