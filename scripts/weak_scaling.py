@@ -76,12 +76,13 @@ def run_msm(per_device: int, backend: str):
     return out
 
 
-def run_ntt(per_device: int):
+def run_ntt(per_device: int, exchange: str = "ppermute",
+            interpret: bool = False):
     from tpu_zkpool.parallel import negacyclic_mul_sharded
     from tpu_zkpool.fields.rlweq import Q
 
     rng = np.random.RandomState(3)
-    out = {}
+    out = {"exchange": exchange}
     base_rate = None
     B = 64
     for D in (1, 2, 4, 8):
@@ -91,11 +92,12 @@ def run_ntt(per_device: int):
         a = jnp.asarray(rng.randint(0, Q, size=(B, n)).astype(np.uint32))
         b = jnp.asarray(rng.randint(0, Q, size=(B, n)).astype(np.uint32))
         mesh = _mesh(D, "sp")
-        r = negacyclic_mul_sharded(a, b, mesh)
+        kw = dict(exchange=exchange, interpret=interpret) if D > 1 else {}
+        r = negacyclic_mul_sharded(a, b, mesh, **kw)
         jax.block_until_ready(r)
         t0 = time.time()
         for _ in range(3):
-            r = negacyclic_mul_sharded(a, b, mesh)
+            r = negacyclic_mul_sharded(a, b, mesh, **kw)
         jax.block_until_ready(r)
         dt = (time.time() - t0) / 3
         rate = B / dt
@@ -113,10 +115,16 @@ def main():
     ap.add_argument("--per-device", type=int, default=4096)
     ap.add_argument("--backend", default="xla")
     ap.add_argument("--ntt", action="store_true")
+    ap.add_argument("--exchange", default="ppermute",
+                    help="sharded-NTT cross-device stage: ppermute | rdma "
+                         "(double-buffered Pallas remote copies; on CPU "
+                         "meshes runs the kernels in interpret mode)")
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
-    res = run_ntt(args.per_device) if args.ntt else run_msm(
-        args.per_device, args.backend)
+    interp = (args.exchange == "rdma"
+              and jax.devices()[0].platform == "cpu")
+    res = run_ntt(args.per_device, args.exchange, interp) if args.ntt \
+        else run_msm(args.per_device, args.backend)
     if args.out:
         with open(args.out, "w") as f:
             json.dump(res, f, indent=1)
