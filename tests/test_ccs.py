@@ -96,6 +96,54 @@ def test_coefficient_table(gccs):
     assert len(set(cs)) == len(cs)  # table entries are deduplicated
 
 
+def test_row_level_decode(gccs):
+    """Full row-level decode of gnark's calldata stream: every R1C row of
+    the committed system, wire/coefficient IDs validated against the
+    CBOR-declared dimensions."""
+    rows = gccs.constraints
+    assert len(rows) == gccs.nb_constraints == 12452
+    nvars = gccs.nb_variables
+    ncoef = len(gccs.coefficients)
+    max_wire = 0
+    n_terms = 0
+    for row in rows:
+        for cid, wid in row.L + row.R + row.O:
+            assert cid < ncoef
+            assert wid < nvars
+            max_wire = max(max_wire, wid)
+        n_terms += len(row.L) + len(row.R) + len(row.O)
+    # every declared wire is actually used somewhere
+    assert max_wire == nvars - 1
+    # calldata accounting: every record is [n][lenL][lenR][lenO][2*terms]
+    # or a hint; totals must reproduce the stream length exactly
+    hint_vals = sum(2 + len(h.calldata) for h in gccs.hint_calls)
+    assert 4 * len(rows) + 2 * n_terms + hint_vals == 262332
+
+    # the 41 solver-hint instructions, by dependency
+    assert len(gccs.hint_calls) == 41
+    by_name = {}
+    for h in gccs.hint_calls:
+        name = gccs.hints[h.hint_id].rsplit("/", 1)[-1]
+        by_name[name] = by_name.get(name, 0) + 1
+    # one scalar decomposition + one point decomposition for the single
+    # fixed-base mul in the circuit (main.nr:60)
+    assert by_name["sw-grumpkin.decomposeScalar"] == 1
+    assert by_name["sw-grumpkin.decompose"] == 1
+
+
+def test_public_wires_are_constrained(gccs):
+    """Each real public input (wires 1..5: root, nullifier, recipient,
+    amount, wa_commitment) appears in at least one R1C row — gnark binds
+    every public input into the constraint system (the .pw blob of
+    withdraw.rs:70-90 is only meaningful if so)."""
+    used = set()
+    for row in gccs.constraints:
+        for _, wid in row.L + row.R + row.O:
+            if wid < gccs.nb_public:
+                used.add(wid)
+    assert {1, 2, 3, 4, 5} <= used
+
+
 def test_coefficient_provenance(gccs, ours):
     """Both compilations consume the committed ACIR's constants (Poseidon
     round constants, Merkle default hashes, curve constants), so most of

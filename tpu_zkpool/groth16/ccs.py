@@ -27,14 +27,21 @@ byte-for-byte against it):
              in Montgomery form, little-endian limbs
              (coefficients[0..4] are gnark's canonical 0, 1, 2, -1, -2)
 
-The three packed sections hold the row data in gnark's internal
-integer-compressed encoding (delta + binary packing); everything this
-library needs for conformance — dimensions, public/secret layout,
-commitment wiring, hint inventory, and the full coefficient table —
-lives in the CBOR body and the raw coefficient tail, which are parsed
-completely.  The CBOR body is decoded with the minimal RFC 8949 reader
-below (definite+indefinite lengths, tags, the simple values gnark
-emits); the decoder errors loudly on anything else.
+Sections 1/2 (``Levels`` / ``Instructions``) are solver-scheduling
+metadata in gnark's block-compressed integer encoding and are left
+opaque.  Section 3 (``CallData``) is a stream of LEB128 varints and is
+decoded COMPLETELY: it is a sequence of self-delimiting records
+``[n, ...n-1 more values]`` where R1C records read
+``[n][lenL][lenR][lenO][(coeffID, wireID) x (lenL+lenR+lenO)]``
+(n == 4 + 2*terms) and hint records read ``[n][hintID][...]`` (hintID
+matches a key of ``MHintsDependencies``).  On the committed file the
+walk yields exactly ``NbConstraints`` R1C records + 41 hint records
+covering every one of the 262,332 calldata values — so
+``GnarkCCS.constraints`` exposes gnark's actual R1CS rows, wire IDs in
+gnark's [public | secret | internal] wire space and coefficient IDs
+into the decoded table.  The CBOR body is decoded with the minimal
+RFC 8949 reader below; the decoder errors loudly on anything it does
+not recognize.
 """
 
 from __future__ import annotations
@@ -134,6 +141,23 @@ def _untag(x):
 # ------------------------------------------------------------------- parser
 
 @dataclass
+class R1CRow:
+    """One gnark R1C: L * R == O, each a list of (coeff_id, wire_id)."""
+
+    L: list
+    R: list
+    O: list
+
+
+@dataclass
+class HintCall:
+    """One solver hint instruction recorded in the calldata stream."""
+
+    hint_id: int
+    calldata: list  # raw values after [n, hintID]
+
+
+@dataclass
 class GnarkCCS:
     """The conformance-relevant content of a gnark ``.ccs`` file."""
 
@@ -148,6 +172,8 @@ class GnarkCCS:
     hints: dict = field(default_factory=dict)    # hint id -> import path
     blueprint_tags: list = field(default_factory=list)
     coefficients: list = field(default_factory=list)  # canonical ints < r
+    constraints: list = field(default_factory=list)   # [R1CRow]
+    hint_calls: list = field(default_factory=list)    # [HintCall]
     section_lens: tuple = (0, 0, 0, 0)  # levels, instructions, calldata, cbor
 
     @property
@@ -164,6 +190,51 @@ def load(path: str) -> GnarkCCS:
     with open(path, "rb") as f:
         data = f.read()
     return parse(data)
+
+
+def _decode_varints(buf: bytes) -> list:
+    vals = []
+    o, n = 0, len(buf)
+    while o < n:
+        v, shift = 0, 0
+        while True:
+            b = buf[o]
+            o += 1
+            v |= (b & 0x7F) << shift
+            if not (b & 0x80):
+                break
+            shift += 7
+        vals.append(v)
+    return vals
+
+
+def _decode_calldata(section: bytes, hint_ids) -> tuple:
+    """Walk the self-delimiting calldata records into R1C rows + hints."""
+    (n_values,) = struct.unpack("<Q", section[:8])
+    vals = _decode_varints(section[8:])
+    if len(vals) != n_values:
+        raise ValueError(f"ccs: calldata decoded {len(vals)} != {n_values}")
+    rows, hints = [], []
+    i = 0
+    while i < len(vals):
+        n = vals[i]
+        if n < 2 or i + n > len(vals):
+            raise ValueError(f"ccs: bad calldata record at {i} (n={n})")
+        rec = vals[i:i + n]
+        i += n
+        if (n >= 4 and n == 4 + 2 * (rec[1] + rec[2] + rec[3])
+                and rec[1] + rec[2] + rec[3] > 0):
+            lL, lR, lO = rec[1], rec[2], rec[3]
+            terms = [(rec[4 + 2 * k], rec[5 + 2 * k]) for k in range(lL + lR + lO)]
+            rows.append(R1CRow(L=terms[:lL], R=terms[lL:lL + lR],
+                               O=terms[lL + lR:]))
+        elif rec[1] in hint_ids:
+            hints.append(HintCall(hint_id=rec[1], calldata=rec[2:]))
+        else:
+            raise ValueError(
+                f"ccs: record at {i - n} is neither R1C-shaped nor a known "
+                f"hint (head {rec[:6]})")
+    return rows, hints
 
 
 def parse(data: bytes) -> GnarkCCS:
@@ -193,6 +264,15 @@ def parse(data: bytes) -> GnarkCCS:
         for i in range(n_coeffs)
     ]
 
+    hints = dict(obj.get("MHintsDependencies") or {})
+    calldata_off = 64 + levels_len + instr_len
+    rows, hint_calls = _decode_calldata(
+        data[calldata_off:calldata_off + calldata_len], set(hints))
+    if len(rows) != obj["NbConstraints"]:
+        raise ValueError(
+            f"ccs: decoded {len(rows)} R1C rows != NbConstraints "
+            f"{obj['NbConstraints']}")
+
     commitments = _untag(obj.get("CommitmentInfo")) or []
     blueprints = obj.get("Blueprints") or []
     return GnarkCCS(
@@ -204,8 +284,10 @@ def parse(data: bytes) -> GnarkCCS:
         public=obj.get("Public") or [],
         secret=obj.get("Secret") or [],
         commitments=[_untag(c) for c in commitments],
-        hints=dict(obj.get("MHintsDependencies") or {}),
+        hints=hints,
         blueprint_tags=[b.tag for b in blueprints if isinstance(b, CborTag)],
         coefficients=coeffs,
+        constraints=rows,
+        hint_calls=hint_calls,
         section_lens=(levels_len, instr_len, calldata_len, cbor_len),
     )
