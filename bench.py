@@ -251,6 +251,9 @@ METRICS = [
     ("prove", "groth16_prove_withdraw_per_s", 1500),
     ("prove_batch", "groth16_prove_batch4_per_s", 900),
     ("verify", "groth16_verify_batch32_per_s", 900),
+    # stretch metric (BASELINE's 2^22 upper MSM size); runs last so a cold
+    # compile can only eat the END of the global budget
+    ("msm22", "msm_g1_2e22_pts_per_s", 1500),
 ]
 
 
@@ -261,6 +264,8 @@ def run_metric(name):
         return bench_msm(MSM_LOG2N)
     if name == "msm17":
         return bench_msm(17)
+    if name == "msm22":
+        return bench_msm(22, iters=2)
     if name == "rlwe":
         return bench_rlwe()
     if name == "verify":

@@ -15,7 +15,7 @@ from tpu_zkpool import benchvec
 
 
 def main():
-    for log2n in (17, 20):
+    for log2n in (17, 20, 22):
         t0 = time.time()
         base, ks = benchvec.msm_inputs(log2n)
         aff = native_bridge.g1_gen_mul_batch(base)
