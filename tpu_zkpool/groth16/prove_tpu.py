@@ -33,7 +33,19 @@ from tpu_zkpool.refimpl import pairing_ref as pr
 
 
 def _pad_up(n: int) -> int:
-    return max(TILE_N, -(-n // TILE_N) * TILE_N)
+    """Pad a point count to the kernel lane width — and, beyond one
+    sub-MSM slice, to a multiple of the slice size: ``window_sums`` only
+    engages its scan-over-slices fold when N divides evenly, and a
+    single-slice gather at 2^20+ rows pays the XLA row-gather cliff the
+    fold exists to avoid (docs/PLAN.md, MSM glue findings). Padding rows
+    are identities (Z = 0), which the pipeline routes to the never-read
+    bucket 0."""
+    from tpu_zkpool.msm.grid import SUB_LOG2
+    npad = max(TILE_N, -(-n // TILE_N) * TILE_N)
+    sub = 1 << SUB_LOG2
+    if npad > sub:
+        npad = -(-npad // sub) * sub
+    return npad
 
 
 def _points_device(pts: list):
