@@ -35,6 +35,26 @@ def test_compute_h_device_matches_oracle():
     assert compute_h_device(r1cs, w, 4) == compute_h(r1cs, w, 4)
 
 
+def test_h_pipeline_split_matches_monolithic():
+    """The big-domain (HBM-bounded) split H pipeline must be bit-exact vs
+    the monolithic one — exercised at a tiny domain on CPU; the split
+    engages automatically above _H_SPLIT_MIN_N (the 2^21 var-PK domain
+    OOM'd the monolithic graph at 27.4 GB)."""
+    from tpu_zkpool.groth16 import prove_tpu as pt
+    rng = random.Random(77)
+    n = 32
+    evs = jnp.asarray(FR.to_mont(np.asarray(
+        [[rng.randrange(R) for _ in range(n)] for _ in range(3)],
+        dtype=object)))
+    tinv = jnp.asarray(FR.to_mont(np.asarray([rng.randrange(1, R)],
+                                             dtype=object))[0])
+    tables = domain.tables_device(n)
+    for demont in (False, True):
+        a = np.asarray(pt._h_pipeline(evs, tinv, tables, demont))
+        b = np.asarray(pt._h_pipeline_split(evs, tinv, tables, demont))
+        assert (a == b).all()
+
+
 @pytest.mark.skipif(os.environ.get("RUN_SLOW") != "1",
                     reason="MSM graph compile is minutes on CPU (RUN_SLOW=1)")
 def test_prove_tpu_tiny_end_to_end():

@@ -203,6 +203,47 @@ def _h_pipeline(evs, tinv, tables, demont):
     return h_m
 
 
+# Above this domain size the monolithic _h_pipeline's live set (three
+# polys through 21 unrolled butterfly stages) exceeds v5e HBM: measured
+# 27.4 GB at n = 2^21 vs 15.75 GB capacity. The split path below stages
+# one poly at a time (peak / 3) at the cost of a few extra dispatches.
+_H_SPLIT_MIN_N = 1 << 20
+
+
+@jax.jit
+def _h_interp_coset(ev, tables):
+    """interpolate_natural + coset_forward of ONE poly (n, 16)."""
+    fwd_tws, inv_tws, ninv, coset, _coset_inv, br = tables
+    coeffs = domain.interpolate_natural(ev, br, inv_tws, ninv)
+    return domain.coset_forward(coeffs, coset, fwd_tws)
+
+
+@jax.jit
+def _h_combine(a_ev, b_ev, c_ev, tinv):
+    """(A*B - C) * t^-1 on the coset — elementwise."""
+    uv = FR.mont_mul(a_ev, b_ev)
+    return FR.mont_mul(FR.sub(uv, c_ev), tinv)
+
+
+@functools.partial(jax.jit, static_argnums=(2,))
+def _h_final(h_ev, tables, demont):
+    _fwd, inv_tws, ninv, _coset, coset_inv, _br = tables
+    h_m = domain.coset_inverse(h_ev, coset_inv, inv_tws, ninv)
+    if demont:
+        one = jnp.broadcast_to(jnp.asarray(int_to_limbs(1)), h_m.shape)
+        h_m = FR.mont_mul(h_m, one)
+    return h_m
+
+
+def _h_pipeline_split(evs, tinv, tables, demont):
+    """The _h_pipeline staged one poly at a time for big domains; device
+    buffers of each stage are freed before the next starts."""
+    on_coset = [_h_interp_coset(evs[i], tables) for i in range(3)]
+    h_ev = _h_combine(on_coset[0], on_coset[1], on_coset[2], tinv)
+    del on_coset
+    return _h_final(h_ev, tables, demont)
+
+
 def compute_h_device(r1cs, w_full, n: int, as_limbs: bool = False,
                      w64: np.ndarray | None = None):
     """H(X) coefficients with the NTT work on device (evals host-side).
@@ -237,7 +278,8 @@ def compute_h_device(r1cs, w_full, n: int, as_limbs: bool = False,
     t_coset_inv = pow(pow(domain.COSET_G, n, R) - 1, -1, R)
     tinv_m = jnp.asarray(FR.to_mont(np.asarray([t_coset_inv], dtype=object))[0])
 
-    h_m = _h_pipeline(dev, tinv_m, domain.tables_device(n), as_limbs)
+    pipeline = (_h_pipeline_split if n >= _H_SPLIT_MIN_N else _h_pipeline)
+    h_m = pipeline(dev, tinv_m, domain.tables_device(n), as_limbs)
     if as_limbs:
         return h_m
     return [int(v) for v in FR.from_mont(np.asarray(h_m))]
