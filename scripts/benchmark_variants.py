@@ -127,7 +127,10 @@ def main():
             old = json.load(open(args.out))
             merged = old.get("results", {})
             for k, v in results.items():
-                merged.setdefault(k, {}).update(v)
+                ent = merged.setdefault(k, {})
+                ent.update(v)
+                if "verify_s" in ent:   # full pipeline ran: drop stale marker
+                    ent.pop("pipeline", None)
             payload["results"] = merged
         except Exception:
             pass
