@@ -55,6 +55,24 @@ def test_h_pipeline_split_matches_monolithic():
         assert (a == b).all()
 
 
+def test_packed_uploads_bit_exact():
+    """The packed host->device wire format (two 16-bit limbs per uint32,
+    halving tunnel uploads) must unpack bit-exactly, and the on-device
+    Montgomery conversion of packed plain values must equal the host
+    to_mont path."""
+    from tpu_zkpool.fields.limbs import ints_to_limbs, pack_limbs16
+    from tpu_zkpool.groth16 import prove_tpu as pt
+    from tpu_zkpool.groth16 import solver_native as sn
+    rng = random.Random(9)
+    vals = [rng.randrange(R) for _ in range(33)]
+    limbs = ints_to_limbs(vals)
+    assert (np.asarray(pt._unpack_dev(pack_limbs16(limbs))) == limbs).all()
+    w64 = sn.ints_to_u64x4(vals)
+    assert (w64.view("<u4") == pack_limbs16(limbs)).all()
+    mont_host = FR.to_mont(np.asarray(vals, dtype=object))
+    assert (np.asarray(pt._unpack_mont_fr(w64.view("<u4"))) == mont_host).all()
+
+
 @pytest.mark.skipif(os.environ.get("RUN_SLOW") != "1",
                     reason="MSM graph compile is minutes on CPU (RUN_SLOW=1)")
 def test_prove_tpu_tiny_end_to_end():

@@ -25,11 +25,38 @@ import numpy as np
 
 from tpu_zkpool.fields.bn254 import FR_MOD as R
 from tpu_zkpool.fields.fctx import FR, FP
-from tpu_zkpool.fields.limbs import ints_to_limbs, int_to_limbs, NLIMB
+from tpu_zkpool.fields.limbs import (ints_to_limbs, int_to_limbs, NLIMB,
+                                     pack_limbs16, unpack_limbs16_jnp)
 from tpu_zkpool.msm.grid import TILE_N, msm_grid_g1, msm_grid_g2
 from tpu_zkpool.groth16 import domain
 from tpu_zkpool.refimpl import groth16_ref as g16
 from tpu_zkpool.refimpl import pairing_ref as pr
+
+
+# Limb arrays cross the host->device boundary PACKED (two 16-bit limbs
+# per uint32 word, fields.limbs.pack_limbs16) and unpack on device: the
+# axon tunnel moves ~37 MB/s, and at 1M+ constraints the prover's limb
+# uploads (witness, H evaluations, proving-key queries) are the warm-path
+# wall — packing halves every one of them. The unpack is a separate tiny
+# jit, so the MSM/NTT graphs (which take limbs as ARGUMENTS) do not
+# recompile.
+
+@jax.jit
+def _unpack_dev(packed):
+    return unpack_limbs16_jnp(packed)
+
+
+_R2_FR = (1 << 512) % R          # R^2 mod r with R = 2^256
+
+
+@jax.jit
+def _unpack_mont_fr(packed):
+    """Packed plain Fr words -> Montgomery-domain 16-limb rows on device:
+    mont_mul(x, R^2) = x*R. Replaces the host-side native to_mont_batch +
+    a full-width upload."""
+    limbs = unpack_limbs16_jnp(packed)
+    r2 = jnp.broadcast_to(jnp.asarray(int_to_limbs(_R2_FR)), limbs.shape)
+    return FR.mont_mul(limbs, r2)
 
 
 def _pad_up(n: int) -> int:
@@ -55,8 +82,10 @@ def _points_device(pts: list):
     npad = _pad_up(n)
     xs = [p[0] if p else 0 for p in pts] + [0] * (npad - n)
     ys = [p[1] if p else 0 for p in pts] + [0] * (npad - n)
-    X = jnp.asarray(FP.to_mont(np.asarray(xs, dtype=object)))
-    Y = jnp.asarray(FP.to_mont(np.asarray(ys, dtype=object)))
+    X = _unpack_dev(jnp.asarray(pack_limbs16(
+        FP.to_mont(np.asarray(xs, dtype=object)))))
+    Y = _unpack_dev(jnp.asarray(pack_limbs16(
+        FP.to_mont(np.asarray(ys, dtype=object)))))
     zmask = np.asarray([1 if p else 0 for p in pts] + [0] * (npad - n),
                        dtype=np.uint32)
     Z = FP.ones_mont((npad,)) * jnp.asarray(zmask)[:, None]
@@ -69,7 +98,8 @@ def _points_device_g2(pts: list):
     npad = _pad_up(n)
     def comp(sel):
         vals = [sel(p) if p else (0, 0) for p in pts] + [(0, 0)] * (npad - n)
-        return jnp.asarray(FP.to_mont(np.asarray(vals, dtype=object)))
+        return _unpack_dev(jnp.asarray(pack_limbs16(
+            FP.to_mont(np.asarray(vals, dtype=object)))))
     X = comp(lambda p: p[0])
     Y = comp(lambda p: p[1])
     zmask = np.asarray([1 if p else 0 for p in pts] + [0] * (npad - n),
@@ -263,9 +293,9 @@ def compute_h_device(r1cs, w_full, n: int, as_limbs: bool = False,
         evs = np.zeros((3, n, 4), dtype=np.uint64)
         for i, rows in enumerate((r1cs.a_rows, r1cs.b_rows, r1cs.c_rows)):
             evs[i, :m] = sn.eval_rows_native((id(r1cs), i), rows, w64)
-        mont = sn.to_mont_batch(evs.reshape(-1, 4))
-        dev = jnp.asarray(
-            sn.u64x4_to_limbs16(mont).reshape(3, n, 16))
+        # plain u64x4 IS the packed wire format (half the bytes of 16-limb
+        # rows); Montgomery conversion happens on device (_unpack_mont_fr).
+        dev = _unpack_mont_fr(jnp.asarray(evs.view("<u4").reshape(3, n, 8)))
     except (OSError, __import__("subprocess").CalledProcessError):
         pass
     if dev is None:
@@ -297,10 +327,9 @@ def _dispatch_legs(dpk: DeviceProvingKey, r1cs, w_full: list):
     try:
         from tpu_zkpool.groth16 import solver_native as sn
         w64 = sn.ints_to_u64x4(w_full)
-        limbs16 = sn.u64x4_to_limbs16(w64)
-        pad = np.zeros((nmax, NLIMB), dtype=np.uint32)
-        pad[: len(w_full)] = limbs16
-        w_limbs = jnp.asarray(pad)
+        pad = np.zeros((nmax, NLIMB // 2), dtype=np.uint32)
+        pad[: len(w_full)] = w64.view("<u4")
+        w_limbs = _unpack_dev(jnp.asarray(pad))
     except (OSError, __import__("subprocess").CalledProcessError):
         w_limbs = _scalar_limbs(w_full, nmax)
     a_out = dpk._msm_g1_dispatch(dpk.a_query, dpk._na, w_limbs)
@@ -314,13 +343,17 @@ def _dispatch_legs(dpk: DeviceProvingKey, r1cs, w_full: list):
         cset = set(pk.committed)
         priv = [w_full[i] for i in range(r1cs.num_public, len(w_full))
                 if i not in cset]
-        k_limbs = _scalar_limbs(priv, dpk._nk)
+        if w64 is not None:
+            from tpu_zkpool.groth16 import solver_native as sn
+            kp = np.zeros((dpk._nk, NLIMB // 2), dtype=np.uint32)
+            kp[: len(priv)] = sn.ints_to_u64x4(priv).view("<u4")
+            k_limbs = _unpack_dev(jnp.asarray(kp))
+        else:
+            k_limbs = _scalar_limbs(priv, dpk._nk)
     elif w64 is not None:
-        from tpu_zkpool.groth16 import solver_native as sn
-        kp = np.zeros((dpk._nk, NLIMB), dtype=np.uint32)
-        kp[: len(w_full) - r1cs.num_public] = sn.u64x4_to_limbs16(
-            w64[r1cs.num_public:])
-        k_limbs = jnp.asarray(kp)
+        kp = np.zeros((dpk._nk, NLIMB // 2), dtype=np.uint32)
+        kp[: len(w_full) - r1cs.num_public] = w64[r1cs.num_public:].view("<u4")
+        k_limbs = _unpack_dev(jnp.asarray(kp))
     else:
         k_limbs = _scalar_limbs(w_full[r1cs.num_public:], dpk._nk)
     k_out = dpk._msm_g1_dispatch(dpk.k_query, dpk._nk, k_limbs)
