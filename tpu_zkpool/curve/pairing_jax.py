@@ -383,3 +383,82 @@ def g2_to_limbs(pts):
         return jnp.asarray(FP.to_mont(
             np.asarray([p[i][j] for p in pts], dtype=object)))
     return ((col(0, 0), col(0, 1)), (col(1, 0), col(1, 1)))
+
+
+# ------------------------------------------- precomputed-line multi-pairing
+
+def _line_eval(f, px, py, an, b):
+    """f *= line with precomputed coefficients: l0 = py, l1 = alpha_neg*px,
+    l3 = beta (lines.py) — two Fp muls + one sparse Fp12 product."""
+    l0 = (py, FP.zeros(py.shape[:-1]))
+    l1 = (FP.mont_mul(an[0], px), FP.mont_mul(an[1], px))
+    return tw.f12_mul_sparse_line(f, l0, l1, b)
+
+
+def miller_loop_lines(g1s, legs):
+    """Multi-pairing Miller loop over precomputed line coefficients.
+
+    g1s: list of (px, py) uint32[..., 16] Montgomery G1 affine points;
+    legs: matching list of ``lines.LineArrays`` (step axis leading; fixed
+    legs unbatched, per-proof legs batched — leading G1 axes broadcast).
+    One shared Fp12 squaring chain serves every leg, and the device does
+    no G2 arithmetic and no Fp2 inversions (VERDICT r2: the per-step
+    Fermat inverses were ~80% of the naive loop's op count).
+    """
+    bits = jnp.asarray(ATE_BITS, dtype=jnp.uint32)
+    bshape = jnp.broadcast_shapes(*[p[0].shape[:-1] for p in g1s])
+    f0 = tw.f12_one(bshape)
+    dbl = tuple((lg.dbl_an0, lg.dbl_an1, lg.dbl_b0, lg.dbl_b1) for lg in legs)
+    add = tuple((lg.add_an0, lg.add_an1, lg.add_b0, lg.add_b1) for lg in legs)
+
+    def body(f, xs):
+        bit, dstep, astep = xs
+        f = tw.f12_sqr(f)
+        for (px, py), (an0, an1, b0, b1) in zip(g1s, dstep):
+            f = _line_eval(f, px, py, (an0, an1), (b0, b1))
+        fa = f
+        for (px, py), (an0, an1, b0, b1) in zip(g1s, astep):
+            fa = _line_eval(fa, px, py, (an0, an1), (b0, b1))
+        take = bit == 1
+        f = tuple((jnp.where(take, a0, c0), jnp.where(take, a1, c1))
+                  for (a0, a1), (c0, c1) in zip(fa, f))
+        return f, None
+
+    f, _ = jax.lax.scan(body, f0, (bits, dbl, add))
+    for i in range(2):
+        for (px, py), lg in zip(g1s, legs):
+            f = _line_eval(f, px, py, (lg.end_an0[i], lg.end_an1[i]),
+                           (lg.end_b0[i], lg.end_b1[i]))
+    return f
+
+
+def f12_to_limbs(f):
+    """Host Fp12 (6 Fp2 int pairs, pairing_ref layout) -> Montgomery limbs."""
+    return tuple((jnp.asarray(FP.to_mont([c[0]])[0]),
+                  jnp.asarray(FP.to_mont([c[1]])[0])) for c in f)
+
+
+def _f12_eq(a, b):
+    ok = None
+    for (c0, c1), (o0, o1) in zip(a, b):
+        e = FP.eq(c0, o0) & FP.eq(c1, o1)
+        ok = e if ok is None else ok & e
+    return ok
+
+
+@jax.jit
+def _ppl_jit(g1s, legs, target):
+    fe = final_exponentiation(miller_loop_lines(g1s, legs))
+    return _f12_eq(fe, target)
+
+
+def pairing_lines_equal(g1_points, legs, target=None) -> jnp.ndarray:
+    """Batched check prod_i e(P_i, Q_i) == target with precomputed Q lines.
+
+    target: host Fp12 (pairing_ref layout) or None for 1 — e.g. the per-VK
+    constant e(alpha, beta) that replaces a whole Miller-loop leg in
+    Groth16 verification. Returns bool[batch].
+    """
+    tl = f12_to_limbs(target) if target is not None \
+        else tw.f12_one(())
+    return _ppl_jit(tuple(g1_points), tuple(legs), tl)
