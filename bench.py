@@ -5,30 +5,38 @@ Prints the headline JSON line {"metric", "value", "unit", "vs_baseline",
 "extra"} INCREMENTALLY — re-emitted after every completed metric, so the
 tail of stdout always carries the best snapshot even if the driver's
 wall-clock budget expires mid-sweep (round-2 lesson: an all-or-nothing
-benchmark recorded nothing, VERDICT.md weak #1).
+benchmark recorded nothing; round-3 lesson: per-metric subprocesses each
+pay the ~5-7 min axon TPU attach, so three metrics burned their whole
+caps on attach/compile and the driver killed the sweep at rc=124).
 
-Headline = grid-MSM throughput at 2^20 BN254 points (the BASELINE.md
-flagship metric); ``extra`` records the full sweep (Poseidon, RLWE
-polymuls, Groth16 prove / prove_batch / batched verify, 2^17 MSM).
-vs_baseline for the MSM is measured against the repo's own single-core
-native C++ Pippenger — the reference's actual prover substrate class
-(gnark on CPU; the reference publishes no numbers, SURVEY.md §6).
+Architecture (round 4):
+- The PARENT never imports jax. It spawns at most two CHILD processes
+  (group A: MSM + hash metrics; group B: Groth16 prove/verify), streams
+  their "RESULT <key> <value>" lines, re-emits the headline JSON after
+  every line, kills whatever is still running at the global deadline,
+  and ALWAYS exits 0 — the driver's tail parse then records the best
+  snapshot no matter where the budget ran out.
+- Each child runs its metrics sequentially in ONE process, so the TPU
+  attach and jax init are paid once per group, and the Groth16 metrics
+  share one setup + DeviceProvingKey (round 3 re-did that per metric).
+- Metric order is by headline value: msm 2^20 first (the BASELINE.md
+  flagship), then the cheap-compile metrics, then the pathological
+  small-N prove graphs (~30 min cold compile, docs/PLAN.md) last in
+  their own group so a cold cache can only eat the END of the budget.
 
-Budgeting:
-- One GLOBAL wall-clock budget (env BENCH_BUDGET_S, default 1800 s);
-  metrics that would start with <45 s remaining are skipped, not started.
-- Each metric still runs in its own subprocess with a per-metric cap, so
-  one pathological cold compile (10-60 min through the axon tunnel when
-  the persistent cache misses) costs at most its own slot.
-- The MSM correctness check uses the precommitted oracle points in
-  bench_expected.json (tpu_zkpool/benchvec.py) instead of a ~45 s live
-  native-oracle run at 2^20.
+Headline = grid-MSM throughput at 2^20 BN254 points. vs_baseline is
+measured against the repo's own single-core native C++ Pippenger — the
+reference's actual prover substrate class (gnark on CPU; the reference
+publishes no numbers, SURVEY.md §6).
 
 Measurement notes for this environment (axon-tunneled TPU):
 - ``block_until_ready`` does not block on actual remote execution; a
   device_get of a reduced scalar forces the full round trip.
 - Inputs vary per timing iteration (chained or reseeded) so no cache can
   short-circuit the work.
+- The persistent compile cache does not reliably survive tunnel swaps
+  (docs/PLAN.md env notes), so the sweep is budgeted to land its
+  headline even with every compile cold.
 """
 
 import functools
@@ -37,39 +45,55 @@ import os
 import sys
 import time
 
-sys.path.insert(0, "/root/repo")
-
-import numpy as np
-import jax
-import jax.numpy as jnp
-
-from tpu_zkpool.utils import enable_compile_cache
-
-enable_compile_cache()
-
-from tpu_zkpool.hash import poseidon_pallas
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 BASE_POSEIDON = 1_000_000.0          # BASELINE.md target
 BASE_MSM_NATIVE = 27_000.0           # native/bn254.cpp single core, pts/s
 MSM_LOG2N = 20
+HEADLINE_KEY = f"msm_g1_2e{MSM_LOG2N}_pts_per_s"
 
 
-# ----------------------------------------------------------------- poseidon
+# --------------------------------------------------------------------------
+# Metric implementations (child side — these import jax).
+# --------------------------------------------------------------------------
 
-@functools.partial(jax.jit, static_argnums=(1, 2))
-def _hash_chain(seed, batch, iters):
-    key = jax.random.PRNGKey(seed)
-    x = jax.random.randint(key, (batch, 16), 0, 1 << 16,
-                           dtype=jnp.int32).astype(jnp.uint32)
 
-    def body(s, _):
-        return poseidon_pallas.hash2_pallas(s, s), None
+def _jax_setup():
+    """Force the TPU platform + persistent compile cache.
 
-    out, _ = jax.lax.scan(body, x, None, length=iters)
-    return jnp.sum(out, dtype=jnp.uint32)
+    The driver may export CPU-forcing flags meant for the multichip
+    dryrun; strip them so the bench always measures the real chip and
+    the compile-cache keys match this session's warm run.
+    """
+    if os.environ.get("JAX_PLATFORMS", "").lower() in ("cpu",):
+        os.environ.pop("JAX_PLATFORMS")
+    flags = os.environ.get("XLA_FLAGS", "")
+    kept = [f for f in flags.split() if "host_platform_device_count" not in f]
+    if kept:
+        os.environ["XLA_FLAGS"] = " ".join(kept)
+    else:
+        os.environ.pop("XLA_FLAGS", None)
+    from tpu_zkpool.utils import enable_compile_cache
+    enable_compile_cache()
 
 
 def bench_poseidon():
+    import jax
+    import jax.numpy as jnp
+    from tpu_zkpool.hash import poseidon_pallas
+
+    @functools.partial(jax.jit, static_argnums=(1, 2))
+    def _hash_chain(seed, batch, iters):
+        key = jax.random.PRNGKey(seed)
+        x = jax.random.randint(key, (batch, 16), 0, 1 << 16,
+                               dtype=jnp.int32).astype(jnp.uint32)
+
+        def body(s, _):
+            return poseidon_pallas.hash2_pallas(s, s), None
+
+        out, _ = jax.lax.scan(body, x, None, length=iters)
+        return jnp.sum(out, dtype=jnp.uint32)
+
     batch, iters = 1 << 15, 4
     int(jax.device_get(_hash_chain(0, batch, iters)))  # compile + warm
     times = []
@@ -80,9 +104,10 @@ def bench_poseidon():
     return batch * iters / min(times)
 
 
-# --------------------------------------------------------------------- msm
-
 def bench_msm(log2n, c=13, iters=3):
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
     from tpu_zkpool.curve.weierstrass import G1
     from tpu_zkpool.fields.limbs import ints_to_limbs
     from tpu_zkpool import benchvec, native_bridge
@@ -126,9 +151,9 @@ def bench_msm(log2n, c=13, iters=3):
     return n / min(times)
 
 
-# -------------------------------------------------------------------- rlwe
-
 def bench_rlwe(batch=4096, iters=3):
+    import jax
+    import jax.numpy as jnp
     from tpu_zkpool.rlwe import ntt
     from tpu_zkpool.fields.rlweq import Q
 
@@ -153,10 +178,9 @@ def bench_rlwe(batch=4096, iters=3):
     return batch * iters / min(times)
 
 
-# ----------------------------------------------------------- groth16 prove
-
 def _withdraw_setup():
-    sys.path.insert(0, "/root/repo/tests")
+    sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.abspath(__file__)), "tests"))
     import vectors
     from tpu_zkpool.groth16.acir import load_artifact
     from tpu_zkpool.groth16 import solver_native as solver
@@ -170,7 +194,19 @@ def _withdraw_setup():
     return ar, w, pk, vk
 
 
-def bench_groth16_prove(iters=3):
+class _Groth16State:
+    """Setup + DeviceProvingKey shared across the prove/verify metrics
+    (one compile-heavy construction instead of three)."""
+
+    def __init__(self):
+        from tpu_zkpool.groth16 import prove_tpu
+        self.ar, self.w, self.pk, self.vk = _withdraw_setup()
+        self.dpk = prove_tpu.DeviceProvingKey(self.pk, backend="pallas",
+                                              complete=True)
+        self.proofs32 = None
+
+
+def bench_groth16_prove(st, iters=3):
     """Warm device-prover throughput on the committed withdraw circuit
     (8,899 R1CS rows after the sk*G gadget): 4 G1 grid MSMs + the G2 MSM +
     the H(X) NTT on chip. Each proof uses a fresh seed (fresh r/s blinding)
@@ -179,42 +215,35 @@ def bench_groth16_prove(iters=3):
     from tpu_zkpool.groth16 import prove_tpu
     from tpu_zkpool.refimpl import groth16_ref as g16
 
-    ar, w, pk, vk = _withdraw_setup()
-    dpk = prove_tpu.DeviceProvingKey(pk, backend="pallas", complete=True)
-    proof = prove_tpu.prove(dpk, ar.r1cs, w, seed=100)   # compile + warm
-    assert g16.verify(vk, proof, w[1:ar.r1cs.num_public])
+    proof = prove_tpu.prove(st.dpk, st.ar.r1cs, st.w, seed=100)  # warm
+    assert g16.verify(st.vk, proof, st.w[1:st.ar.r1cs.num_public])
     times = []
     for it in range(iters):
         t0 = time.time()
-        prove_tpu.prove(dpk, ar.r1cs, w, seed=101 + it)
+        prove_tpu.prove(st.dpk, st.ar.r1cs, st.w, seed=101 + it)
         times.append(time.time() - t0)
     return 1.0 / min(times)
 
 
-def bench_groth16_prove_batch(B=4, iters=3):
+def bench_groth16_prove_batch(st, B=4, iters=3):
     """Batched prover throughput: B proofs per prove_batch call (all MSM
-    legs of every proof dispatched before any fetch), fresh witnesses per
-    proof via the native solver. The payroll scenario
+    legs of every proof dispatched before any fetch), the payroll scenario
     (client/payroll-demo.ts:326-350) at framework scale."""
     from tpu_zkpool.groth16 import prove_tpu
     from tpu_zkpool.refimpl import groth16_ref as g16
 
-    ar, w, pk, vk = _withdraw_setup()
-    dpk = prove_tpu.DeviceProvingKey(pk, backend="pallas", complete=True)
-    ws = [w] * B
-    proofs = prove_tpu.prove_batch(dpk, ar.r1cs, ws, seed=300)  # warm
-    assert g16.verify(vk, proofs[0], w[1:ar.r1cs.num_public])
+    ws = [st.w] * B
+    proofs = prove_tpu.prove_batch(st.dpk, st.ar.r1cs, ws, seed=300)  # warm
+    assert g16.verify(st.vk, proofs[0], st.w[1:st.ar.r1cs.num_public])
     times = []
     for it in range(iters):
         t0 = time.time()
-        prove_tpu.prove_batch(dpk, ar.r1cs, ws, seed=400 + B * it)
+        prove_tpu.prove_batch(st.dpk, st.ar.r1cs, ws, seed=400 + B * it)
         times.append(time.time() - t0)
     return B / min(times)
 
 
-# ---------------------------------------------------------- groth16 verify
-
-def bench_verify_batch(B=32):
+def bench_verify_batch(st, B=32):
     """Batched verify of B REAL withdraw-circuit proofs (the committed
     8,899-row circuit's VK — not a toy R1CS): proofs come from the device
     prover with distinct blinding seeds, then verify_batch folds all
@@ -222,64 +251,90 @@ def bench_verify_batch(B=32):
     on-chain per-proof verify of withdraw.rs:163-175, batched chip-wide."""
     from tpu_zkpool.groth16 import prove_tpu, verify_tpu
 
-    ar, w, pk, vk = _withdraw_setup()
-    dpk = prove_tpu.DeviceProvingKey(pk, backend="pallas", complete=True)
-    proofs = prove_tpu.prove_batch(dpk, ar.r1cs, [w] * B, seed=900)
-    pubs = [w[1:ar.r1cs.num_public]] * B
-    ok = verify_tpu.verify_batch(vk, proofs, pubs)   # compile + warm
+    if st.proofs32 is None:
+        st.proofs32 = prove_tpu.prove_batch(st.dpk, st.ar.r1cs, [st.w] * B,
+                                            seed=900)
+    proofs = st.proofs32
+    pubs = [st.w[1:st.ar.r1cs.num_public]] * B
+    ok = verify_tpu.verify_batch(st.vk, proofs, pubs)   # compile + warm
     assert ok.all()
     t0 = time.time()
-    ok = verify_tpu.verify_batch(vk, proofs, pubs)
+    ok = verify_tpu.verify_batch(st.vk, proofs, pubs)
     assert ok.all()
     return B / (time.time() - t0)
 
 
-# ------------------------------------------------------------ orchestration
-#
-# Each metric runs in its OWN subprocess with a per-metric cap; the parent
-# enforces one global budget and re-emits the headline JSON line after
-# every metric so partial sweeps still land in the driver log tail.
+# --------------------------------------------------------------------------
+# Child driver: run one metric GROUP sequentially, streaming results.
+# --------------------------------------------------------------------------
 
-# (name, key, per-metric cap seconds) — headline-adjacent metrics first.
-# poseidon leads: it compiles in ~1 min even cold, guaranteeing at least
-# one emitted result line almost immediately.
-METRICS = [
-    ("poseidon", "poseidon_hashes_per_s", 420),
-    ("msm20", f"msm_g1_2e{MSM_LOG2N}_pts_per_s", 1500),
-    ("msm17", "msm_g1_2e17_pts_per_s", 900),
-    ("rlwe", "rlwe_polymul_1024_per_s", 420),
-    ("prove", "groth16_prove_withdraw_per_s", 1500),
-    ("prove_batch", "groth16_prove_batch4_per_s", 900),
-    ("verify", "groth16_verify_batch32_per_s", 900),
-    # stretch metric (BASELINE's 2^22 upper MSM size); runs last so a cold
-    # compile can only eat the END of the global budget
-    ("msm22", "msm_g1_2e22_pts_per_s", 1500),
-]
+# Estimated minimum useful wall (warm compile) per metric; a metric is
+# skipped when less than this remains, so the child never starts work it
+# cannot finish.
+GROUPS = {
+    "A": [("msm20", 60), ("poseidon", 30), ("rlwe", 30), ("msm17", 45),
+          ("msm22", 90)],
+    "B": [("prove", 90), ("prove_batch", 60), ("verify32", 60)],
+}
+
+KEYS = {
+    "msm20": HEADLINE_KEY,
+    "msm17": "msm_g1_2e17_pts_per_s",
+    "msm22": "msm_g1_2e22_pts_per_s",
+    "poseidon": "poseidon_hashes_per_s",
+    "rlwe": "rlwe_polymul_1024_per_s",
+    "prove": "groth16_prove_withdraw_per_s",
+    "prove_batch": "groth16_prove_batch4_per_s",
+    "verify32": "groth16_verify_batch32_per_s",
+}
 
 
-def run_metric(name):
-    if name == "poseidon":
-        return bench_poseidon()
-    if name == "msm20":
-        return bench_msm(MSM_LOG2N)
-    if name == "msm17":
-        return bench_msm(17)
-    if name == "msm22":
-        return bench_msm(22, iters=2)
-    if name == "rlwe":
-        return bench_rlwe()
-    if name == "verify":
-        return bench_verify_batch()
-    if name == "prove":
-        return bench_groth16_prove()
-    if name == "prove_batch":
-        return bench_groth16_prove_batch()
-    raise ValueError(name)
+def child(group, deadline):
+    _jax_setup()
+    st = None
+
+    def runner(name):
+        nonlocal st
+        if name == "msm20":
+            return bench_msm(MSM_LOG2N)
+        if name == "msm17":
+            return bench_msm(17)
+        if name == "msm22":
+            return bench_msm(22, iters=2)
+        if name == "poseidon":
+            return bench_poseidon()
+        if name == "rlwe":
+            return bench_rlwe()
+        if name in ("prove", "prove_batch", "verify32"):
+            if st is None:
+                st = _Groth16State()
+            if name == "prove":
+                return bench_groth16_prove(st)
+            if name == "prove_batch":
+                return bench_groth16_prove_batch(st)
+            return bench_verify_batch(st)
+        raise ValueError(name)
+
+    for name, min_s in GROUPS[group]:
+        if time.time() > deadline - min_s:
+            print(f"NOTE {name} skipped: group deadline", flush=True)
+            continue
+        t0 = time.time()
+        try:
+            v = runner(name)
+            print(f"RESULT {KEYS[name]} {v!r}", flush=True)
+        except Exception as e:  # noqa: BLE001 — keep sweeping
+            print(f"NOTE {name} error: {str(e)[:160]}", flush=True)
+        print(f"NOTE {name} wall {time.time() - t0:.1f}s", flush=True)
+
+
+# --------------------------------------------------------------------------
+# Parent: stream children, re-emit headline, hard deadline, rc=0 always.
+# --------------------------------------------------------------------------
 
 
 def emit(extra):
-    """Print the headline JSON line from whatever has completed so far."""
-    msm20 = extra.get(f"msm_g1_2e{MSM_LOG2N}_pts_per_s")
+    msm20 = extra.get(HEADLINE_KEY)
     if msm20 is not None:
         line = {
             "metric": f"msm_g1_2e{MSM_LOG2N}_points_per_s",
@@ -300,41 +355,82 @@ def emit(extra):
     print(json.dumps(line), flush=True)
 
 
-def main():
-    if len(sys.argv) > 2 and sys.argv[1] == "--metric":
+def _stream_child(group, deadline, extra, notes):
+    """Spawn one metric-group child; stream its RESULT/NOTE lines until
+    the deadline. Returns when the child exits or is killed."""
+    import selectors
+    import signal
+    import subprocess
+
+    err_path = f"/tmp/bench_child_{group}.err"
+    with open(err_path, "w") as errf:
+        proc = subprocess.Popen(
+            [sys.executable, os.path.abspath(__file__), "--child", group,
+             repr(deadline)],
+            stdout=subprocess.PIPE, stderr=errf, text=True,
+            start_new_session=True)
+    sel = selectors.DefaultSelector()
+    sel.register(proc.stdout, selectors.EVENT_READ)
+    try:
+        while True:
+            now = time.time()
+            if now >= deadline:
+                notes.append(f"group {group} killed at deadline")
+                break
+            if not sel.select(timeout=min(10.0, deadline - now)):
+                if proc.poll() is not None:
+                    break
+                continue
+            line = proc.stdout.readline()
+            if not line:              # EOF
+                break
+            line = line.strip()
+            if line.startswith("RESULT "):
+                _, key, val = line.split(" ", 2)
+                try:
+                    extra[key] = round(float(val), 3)
+                except ValueError:
+                    notes.append(f"bad value for {key}")
+                emit(extra)
+            elif line.startswith("NOTE "):
+                notes.append(line[5:])
+    finally:
+        sel.close()
+        if proc.poll() is None:
+            try:
+                os.killpg(proc.pid, signal.SIGKILL)
+            except (ProcessLookupError, PermissionError):
+                proc.kill()
         try:
-            print("RESULT " + json.dumps(run_metric(sys.argv[2])), flush=True)
-        except Exception as e:
-            print("ERROR " + str(e)[:300], flush=True)
+            proc.stdout.close()
+        except Exception:
+            pass
+        proc.wait(timeout=30)
+
+
+def main():
+    if len(sys.argv) > 2 and sys.argv[1] == "--child":
+        child(sys.argv[2], float(sys.argv[3]))
         return
 
-    import subprocess
-    budget = float(os.environ.get("BENCH_BUDGET_S", "1800"))
-    deadline = time.time() + budget
+    budget = float(os.environ.get("BENCH_BUDGET_S", "1380"))
+    t_start = time.time()
+    deadline = t_start + budget
     extra = {"budget_s": budget}
-    for name, key, cap in METRICS:
-        remaining = deadline - time.time()
-        if remaining < 45:
-            extra[f"{name}_error"] = "skipped: global budget exhausted"
-            continue
-        tmo = min(cap, remaining)
-        t0 = time.time()
-        try:
-            out = subprocess.run(
-                [sys.executable, __file__, "--metric", name],
-                capture_output=True, text=True, timeout=tmo)
-            line = next((ln for ln in out.stdout.splitlines()
-                         if ln.startswith(("RESULT ", "ERROR "))), None)
-            if line and line.startswith("RESULT "):
-                extra[key] = round(json.loads(line[7:]), 3)
-            else:
-                msg = (line[6:] if line else
-                       (out.stderr.strip().splitlines() or ["no output"])[-1])
-                extra[f"{name}_error"] = msg[:200]
-        except subprocess.TimeoutExpired:
-            extra[f"{name}_error"] = f"timeout after {int(tmo)}s"
-        extra[f"{name}_wall_s"] = round(time.time() - t0, 1)
-        emit(extra)
+    notes = []
+    # Group A gets everything up to a reserve for group B; if A finishes
+    # early, B gets the slack. 420 s is enough for B's whole warm path.
+    reserve_b = min(420.0, budget * 0.3)
+    try:
+        _stream_child("A", deadline - reserve_b, extra, notes)
+        if time.time() < deadline - 60:
+            _stream_child("B", deadline - 15, extra, notes)
+    except Exception as e:  # noqa: BLE001 — the headline must still land
+        notes.append(f"parent error: {str(e)[:200]}")
+    extra["notes"] = notes[-20:]
+    extra["wall_s"] = round(time.time() - t_start, 1)
+    emit(extra)
+    sys.exit(0)
 
 
 if __name__ == "__main__":
