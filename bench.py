@@ -355,9 +355,14 @@ def emit(extra):
     print(json.dumps(line), flush=True)
 
 
-def _stream_child(group, deadline, extra, notes):
+def _stream_child(group, deadline, extra, notes, hard_deadline=None):
     """Spawn one metric-group child; stream its RESULT/NOTE lines until
-    the deadline. Returns when the child exits or is killed."""
+    the deadline. Returns when the child exits or is killed.
+
+    ``hard_deadline``: when set, the child is only killed at ``deadline``
+    if the headline metric has already landed — otherwise it keeps
+    running (up to the hard deadline) rather than wasting a nearly-done
+    cold compile of the headline graph."""
     import selectors
     import signal
     import subprocess
@@ -374,10 +379,13 @@ def _stream_child(group, deadline, extra, notes):
     try:
         while True:
             now = time.time()
-            if now >= deadline:
+            eff = deadline
+            if hard_deadline is not None and HEADLINE_KEY not in extra:
+                eff = hard_deadline
+            if now >= eff:
                 notes.append(f"group {group} killed at deadline")
                 break
-            if not sel.select(timeout=min(10.0, deadline - now)):
+            if not sel.select(timeout=min(10.0, eff - now)):
                 if proc.poll() is not None:
                     break
                 continue
@@ -422,7 +430,12 @@ def main():
     # early, B gets the slack. 420 s is enough for B's whole warm path.
     reserve_b = min(420.0, budget * 0.3)
     try:
-        _stream_child("A", deadline - reserve_b, extra, notes)
+        # Group A runs to its soft deadline — or the hard one while the
+        # headline metric hasn't landed (don't waste a nearly-finished
+        # cold msm20 compile to start a prove group that cannot finish
+        # cold anyway, docs/PLAN.md round-3 warm-up evidence).
+        _stream_child("A", deadline - reserve_b, extra, notes,
+                      hard_deadline=deadline - 30)
         if time.time() < deadline - 60:
             _stream_child("B", deadline - 15, extra, notes)
     except Exception as e:  # noqa: BLE001 — the headline must still land

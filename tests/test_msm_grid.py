@@ -180,3 +180,37 @@ def test_msm_sub_slice_fold():
                        sub_log2=10)
     got = _row_to_affine(np.asarray(be.horner(S, 13)))
     assert got == native_bridge.g1_msm(ks_o, aff)
+
+
+def test_msm_grid_nbits_bounded_scalars():
+    """nbits narrows the signed recode for bounded scalars (3 windows at
+    c=13/nbits=39 instead of 20): same pipeline, same result as the
+    native oracle. This is the multichip-dryrun configuration
+    (__graft_entry__.py) — the virtual-CPU-mesh runtime fix."""
+    n = 1024
+    rng = random.Random(77)
+    aff = _points(n, seed=6)
+    nb = 39
+    ks = [rng.randrange(0, 1 << (nb - 1)) for _ in range(n)]
+    rows = jnp.asarray(_rows_from_affine(aff))
+    pts = (rows[:, 0, 0], rows[:, 1, 0], rows[:, 2, 0])
+    X, Y, Z = mg.msm_grid_g1(pts, jnp.asarray(ints_to_limbs(ks)), c=13,
+                             backend="xla", complete=False, nbits=nb)
+    got = _row_to_affine(np.stack([np.asarray(X)[None], np.asarray(Y)[None],
+                                   np.asarray(Z)[None]]))
+    assert got == native_bridge.g1_msm(ks, aff)
+
+
+def test_signed_digits_nbits_reconstruct():
+    rng = random.Random(3)
+    ks = [rng.randrange(0, 1 << 38) for _ in range(64)]
+    bucket, neg = mg.signed_digits(jnp.asarray(ints_to_limbs(ks)), 13,
+                                   nbits=39)
+    bucket, neg = np.asarray(bucket), np.asarray(neg)
+    assert bucket.shape[1] == 3
+    for i, k in enumerate(ks):
+        acc = 0
+        for w in range(bucket.shape[1]):
+            d = int(bucket[i, w]) * (-1 if neg[i, w] else 1)
+            acc += d << (13 * w)
+        assert acc == k

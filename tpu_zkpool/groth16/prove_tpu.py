@@ -75,11 +75,12 @@ def _pad_up(n: int) -> int:
     return npad
 
 
-def _points_device(pts: list):
+def _points_device(pts: list, npad_to: int = 0):
     """Affine G1 int points (None allowed) -> Jacobian limb arrays padded
-    to a multiple of 1024 with identities (Z = 0)."""
+    to a multiple of 1024 with identities (Z = 0). ``npad_to`` forces a
+    larger common size (DeviceProvingKey leg unification)."""
     n = len(pts)
-    npad = _pad_up(n)
+    npad = max(_pad_up(n), npad_to)
     xs = [p[0] if p else 0 for p in pts] + [0] * (npad - n)
     ys = [p[1] if p else 0 for p in pts] + [0] * (npad - n)
     X = _unpack_dev(jnp.asarray(pack_limbs16(
@@ -134,10 +135,22 @@ class DeviceProvingKey:
         self.backend = backend
         self.complete = complete
         self.limb15 = limb15 if backend == "pallas" else False
-        self.a_query, self._na = _points_device(pk.a_query)
-        self.b1_query, _ = _points_device(pk.b1_query)
-        self.k_query, self._nk = _points_device(pk.k_query)
-        self.h_query, self._nh = _points_device(pk.h_query)
+        # Unify small G1 legs to ONE padded size so the prover compiles a
+        # single _msm_rows graph instead of one per distinct leg length:
+        # each new grid size costs minutes of Mosaic compile through the
+        # tunnel (the round-3 warm-up never finished the prove-family
+        # compiles inside 1500 s). Only when the largest leg fits one
+        # sub-MSM slice — for million-constraint circuits the H leg is
+        # several slices bigger than A/B1/K and unifying would add real
+        # MSM work, so those keep per-leg sizes.
+        from tpu_zkpool.msm.grid import SUB_LOG2
+        npads = [_pad_up(len(q)) for q in
+                 (pk.a_query, pk.b1_query, pk.k_query, pk.h_query)]
+        unified = max(npads) if max(npads) <= (1 << SUB_LOG2) else 0
+        self.a_query, self._na = _points_device(pk.a_query, unified)
+        self.b1_query, _ = _points_device(pk.b1_query, unified)
+        self.k_query, self._nk = _points_device(pk.k_query, unified)
+        self.h_query, self._nh = _points_device(pk.h_query, unified)
         self.b2_query, self._nb2 = _points_device_g2(pk.b2_query)
 
     # ---------------------------------------------------------------- MSMs

@@ -869,15 +869,21 @@ def _take0(a, idx):
     return a.at[idx].get(mode="promise_in_bounds")
 
 
-def n_windows(c: int) -> int:
-    return -(-SCALAR_BITS // c)
+def n_windows(c: int, nbits: int = SCALAR_BITS) -> int:
+    return -(-nbits // c)
 
 
-def signed_digits(limbs, c: int):
+def signed_digits(limbs, c: int, nbits: int = SCALAR_BITS):
     """uint32[N, 16] plain (non-Montgomery) scalar limbs -> (bucket, neg):
     bucket int32[N, W] in [0, 2^(c-1)], neg bool[N, W]; scalar =
-    sum_w sign_w * bucket_w * 2^(c*w)."""
-    W = n_windows(c)
+    sum_w sign_w * bucket_w * 2^(c*w).
+
+    ``nbits`` narrows the recode for scalars known to be < 2^(nbits-1)
+    (one guard bit, like SCALAR_BITS for full Fr): the window scan then
+    runs ceil(nbits/c) iterations instead of 20 — used by the multichip
+    dryrun (tiny scalars, 6.7x less window work on the virtual CPU mesh)
+    and available to any caller with bounded scalars."""
+    W = n_windows(c, nbits)
     cmask = np.uint32((1 << c) - 1)
     half = 1 << (c - 1)
     raw = []
@@ -945,7 +951,8 @@ def make_backend(backend: str, ncomp: int, interpret: bool = False,
 SUB_LOG2 = 17
 
 
-def window_sums(rows, scalar_limbs, c, be, sub_log2=SUB_LOG2):
+def window_sums(rows, scalar_limbs, c, be, sub_log2=SUB_LOG2,
+                nbits=SCALAR_BITS):
     """Per-window Pippenger sums S_w (W, 3, ncomp, 16) of the local point
     set — everything except the final Horner combine. This is the sharding
     seam: point-axis-sharded MSM computes local window sums per device,
@@ -958,22 +965,22 @@ def window_sums(rows, scalar_limbs, c, be, sub_log2=SUB_LOG2):
     N = rows.shape[0]
     SUB = 1 << sub_log2
     if N > SUB and N % SUB == 0:
-        W = n_windows(c)
+        W = n_windows(c, nbits)
         rsub = rows.reshape(N // SUB, SUB, *rows.shape[1:])
         lsub = scalar_limbs.reshape(N // SUB, SUB, scalar_limbs.shape[-1])
 
         def body(acc, xs):
             r, l = xs
-            Sw = _window_sums_one(r, l, c, be)
+            Sw = _window_sums_one(r, l, c, be, nbits)
             return be.addn(acc, Sw), None
 
         init = jnp.zeros((W, 3) + rows.shape[2:], jnp.uint32)
         acc, _ = jax.lax.scan(body, init, (rsub, lsub))
         return acc
-    return _window_sums_one(rows, scalar_limbs, c, be)
+    return _window_sums_one(rows, scalar_limbs, c, be, nbits)
 
 
-def _window_sums_one(rows, scalar_limbs, c, be):
+def _window_sums_one(rows, scalar_limbs, c, be, nbits=SCALAR_BITS):
     """One slice of ``window_sums`` (the round-1 full pipeline, with the
     per-window point stream fed to the kernel-side retile path
     ``prefix_signed`` in step-major order)."""
@@ -981,11 +988,11 @@ def _window_sums_one(rows, scalar_limbs, c, be):
     lanes = be.lanes
     assert N % lanes == 0
     k = N // lanes
-    W = n_windows(c)
+    W = n_windows(c, nbits)
     half = 1 << (c - 1)
     C, L = _reduction_shape(half)
 
-    bucket, neg = signed_digits(scalar_limbs, c)
+    bucket, neg = signed_digits(scalar_limbs, c, nbits)
     # identity inputs (Z = 0) contribute nothing: zero their digits so they
     # land in the never-read bucket 0, and substitute a valid curve point
     # for their (meaningless) coordinates so the prefix scan stays inside
@@ -1116,21 +1123,22 @@ def _window_sums_one(rows, scalar_limbs, c, be):
     return be.scale_add(mT, sU, L.bit_length() - 1)   # (W, 3, ncomp, L)
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5, 6, 7))
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5, 6, 7, 8))
 def _msm_rows(rows, scalar_limbs, c, backend, interpret, lanes, complete,
-              limb15=False):
+              limb15=False, nbits=SCALAR_BITS):
     """rows: uint32[N, 3, ncomp, 16] Jacobian Montgomery points with Z in
     {R, 0}; scalar_limbs: uint32[N, 16] plain. N must be a multiple of
     ``lanes``. Returns the MSM as one point row (3, ncomp, 16)."""
     be = make_backend(backend, rows.shape[2], interpret, lanes, complete,
                       limb15)
-    S = window_sums(rows, scalar_limbs, c, be)
+    S = window_sums(rows, scalar_limbs, c, be, nbits=nbits)
     return be.horner(S, c)                         # (3, ncomp, L)
 
 
 def msm_grid_g1(points, scalar_limbs, c: int = 13, backend: str = "pallas",
                 interpret: bool = False, lanes: int = TILE_N,
-                complete: bool = True, limb15: bool = False):
+                complete: bool = True, limb15: bool = False,
+                nbits: int = SCALAR_BITS):
     """Grid-accumulator MSM over G1.
 
     points: (X, Y, Z) uint32[N, 16] Montgomery Jacobian with Z in {R, 0}
@@ -1142,13 +1150,14 @@ def msm_grid_g1(points, scalar_limbs, c: int = 13, backend: str = "pallas",
     X, Y, Z = points
     rows = jnp.stack([X, Y, Z], axis=1)[:, :, None, :]
     out = _msm_rows(rows, jnp.asarray(scalar_limbs), c, backend, interpret,
-                    lanes, complete, limb15)
+                    lanes, complete, limb15, nbits)
     return out[0, 0], out[1, 0], out[2, 0]
 
 
 def msm_grid_g2(points, scalar_limbs, c: int = 13, backend: str = "pallas",
                 interpret: bool = False, lanes: int = TILE_N,
-                complete: bool = True, limb15: bool = False):
+                complete: bool = True, limb15: bool = False,
+                nbits: int = SCALAR_BITS):
     """Grid-accumulator MSM over G2 (coordinates in Fp2).
 
     points: (X, Y, Z) uint32[N, 2, 16] Montgomery Jacobian (Z in {R, 0}).
@@ -1157,7 +1166,7 @@ def msm_grid_g2(points, scalar_limbs, c: int = 13, backend: str = "pallas",
     X, Y, Z = points
     rows = jnp.stack([X, Y, Z], axis=1)
     out = _msm_rows(rows, jnp.asarray(scalar_limbs), c, backend, interpret,
-                    lanes, complete, limb15)
+                    lanes, complete, limb15, nbits)
     return out[0], out[1], out[2]
 
 

@@ -25,17 +25,18 @@ import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
 
 from tpu_zkpool.msm.grid import (
-    TILE_N, make_backend, window_sums,
+    SCALAR_BITS, TILE_N, make_backend, window_sums,
 )
 
 
 @functools.lru_cache(maxsize=None)
 def _sharded_msm_fn(mesh, axis: str, c: int, backend: str, interpret: bool,
-                    ncomp: int):
+                    ncomp: int, nbits: int):
     def run(rows, scalar_limbs):
         def local(rows_l, limbs_l):
             be = make_backend(backend, ncomp, interpret)
-            S = window_sums(rows_l, limbs_l, c, be)   # (W, 3, ncomp, 16)
+            S = window_sums(rows_l, limbs_l, c, be,
+                            nbits=nbits)              # (W, 3, ncomp, 16)
             allS = jax.lax.all_gather(S, axis)        # (D, W, 3, ncomp, 16)
 
             def fold(acc, s):
@@ -57,18 +58,19 @@ def _sharded_msm_fn(mesh, axis: str, c: int, backend: str, interpret: bool,
 
 def msm_grid_sharded(rows, scalar_limbs, mesh, axis: str = "dp",
                      c: int = 13, backend: str = "xla",
-                     interpret: bool = False):
+                     interpret: bool = False, nbits: int = SCALAR_BITS):
     """MSM with the point axis sharded over ``mesh[axis]``.
 
     rows: uint32[N, 3, ncomp, 16] Jacobian Montgomery (Z in {R, 0});
     scalar_limbs: uint32[N, 16] plain. N must be a multiple of
     1024 * mesh.shape[axis]. Returns one point row (3, ncomp, 16).
+    ``nbits``: scalar bound for the signed recode (grid.signed_digits).
     """
     D = mesh.shape[axis]
     N = rows.shape[0]
     ncomp = rows.shape[2]
     assert N % (TILE_N * D) == 0, "need 1024 points per device"
-    return _sharded_msm_fn(mesh, axis, c, backend, interpret, ncomp)(
+    return _sharded_msm_fn(mesh, axis, c, backend, interpret, ncomp, nbits)(
         rows, scalar_limbs)
 
 

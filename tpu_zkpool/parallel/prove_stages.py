@@ -29,20 +29,21 @@ import jax.numpy as jnp
 
 from jax.sharding import PartitionSpec as P
 
-from tpu_zkpool.msm.grid import TILE_N, make_backend, window_sums
+from tpu_zkpool.msm.grid import (SCALAR_BITS, TILE_N, make_backend,
+                                 window_sums)
 
 N_G1_LEGS = 4   # A, B1, H, K
 
 
 @functools.lru_cache(maxsize=None)
 def _leg_msm_fn(mesh, axis_leg: str, axis_pt: str, c: int, backend: str,
-                interpret: bool):
+                interpret: bool, nbits: int):
     def run(rows_legs, limbs_legs):
         def local(rows_l, limbs_l):
             # rows_l: (1, N/Dpt, 3, 1, 16) — this group's leg, this
             # device's point shard
             be = make_backend(backend, 1, interpret)
-            S = window_sums(rows_l[0], limbs_l[0], c, be)
+            S = window_sums(rows_l[0], limbs_l[0], c, be, nbits=nbits)
             allS = jax.lax.all_gather(S, axis_pt)      # fold TP shards
 
             def fold(acc, s):
@@ -64,7 +65,8 @@ def _leg_msm_fn(mesh, axis_leg: str, axis_pt: str, c: int, backend: str,
 
 def msm_legs_sharded(rows_legs, limbs_legs, mesh, axis_leg: str = "leg",
                      axis_pt: str = "pt", c: int = 13,
-                     backend: str = "xla", interpret: bool = False):
+                     backend: str = "xla", interpret: bool = False,
+                     nbits: int = SCALAR_BITS):
     """Four G1 MSMs, one per stage group, points sharded inside groups.
 
     rows_legs: uint32[4, N, 3, 1, 16] Jacobian Montgomery (legs padded to
@@ -76,5 +78,5 @@ def msm_legs_sharded(rows_legs, limbs_legs, mesh, axis_leg: str = "leg",
     assert mesh.shape[axis_leg] == N_G1_LEGS
     Dpt = mesh.shape[axis_pt]
     assert rows_legs.shape[1] % (TILE_N * Dpt) == 0
-    return _leg_msm_fn(mesh, axis_leg, axis_pt, c, backend, interpret)(
-        rows_legs, limbs_legs)
+    return _leg_msm_fn(mesh, axis_leg, axis_pt, c, backend, interpret,
+                       nbits)(rows_legs, limbs_legs)
