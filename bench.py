@@ -109,14 +109,13 @@ def bench_msm(log2n, c=13, iters=3):
     import jax
     import jax.numpy as jnp
     from tpu_zkpool.curve.weierstrass import G1
-    from tpu_zkpool.fields.limbs import ints_to_limbs
     from tpu_zkpool import benchvec, native_bridge
     from tpu_zkpool.msm import grid as mg
 
     n = 1 << log2n
-    base, ks = benchvec.msm_inputs(log2n)
-    aff = native_bridge.g1_gen_mul_batch(base)
-    X, Y, Z = G1.from_affine_ints([p[0] for p in aff], [p[1] for p in aff])
+    # Disk-cached device-ready limb arrays: the host prep (point gen +
+    # bigint Montgomery conversion) was ~80% of the warm metric wall.
+    X, Y, Z, limbs_np = benchvec.msm_device_arrays(log2n)
 
     # Whole iteration as ONE dispatch: points and scalar limbs stay
     # device-resident; each timed run rotates the scalar<->point pairing
@@ -132,14 +131,19 @@ def bench_msm(log2n, c=13, iters=3):
                            limb15=True)      # 15-bit-limb prefix kernels
         return o
 
-    limbs = jnp.asarray(ints_to_limbs(ks))
-    out = run(X, Y, Z, limbs, c, 0)          # compile + correctness check
+    X, Y, Z = jnp.asarray(X), jnp.asarray(Y), jnp.asarray(Z)
+    limbs = jnp.asarray(limbs_np)
+    # shift MUST be uint32 like the timed calls: a Python-int 0 traces
+    # weak-typed i32 and costs a second full compile of the whole MSM
+    # graph (measured 66-71 s at 2^20).
+    out = run(X, Y, Z, limbs, c, jnp.uint32(0))  # compile + check
     xs, ys = G1.to_affine_ints(tuple(np.asarray(r)[None] for r in out))
     got = (int(np.asarray(xs).reshape(-1)[0]),
            int(np.asarray(ys).reshape(-1)[0]))
     exp = benchvec.load_expected(log2n)
     if exp is None:                          # no committed point: live oracle
-        exp = native_bridge.g1_msm(ks, aff)
+        base, ks = benchvec.msm_inputs(log2n)
+        exp = native_bridge.g1_msm(ks, native_bridge.g1_gen_mul_batch(base))
     assert got == tuple(exp), "TPU MSM != committed native-oracle point"
 
     times = []
