@@ -1135,6 +1135,28 @@ def _msm_rows(rows, scalar_limbs, c, backend, interpret, lanes, complete,
     return be.horner(S, c)                         # (3, ncomp, L)
 
 
+def _msm_rows_dispatch(rows, scalar_limbs, c, backend, interpret, lanes,
+                       complete, limb15, nbits):
+    """Route through the disk-cached exported module for the Pallas
+    backend: tracing+lowering the big limb graphs costs minutes per
+    process (utils/aot.py round-4 measurements) and the module depends
+    only on shapes + static config + source version. The XLA backend
+    (CPU tests, virtual meshes) keeps the plain jit — its modules are
+    small and the export would pin the wrong platform."""
+    statics = (c, backend, interpret, lanes, complete, limb15, nbits)
+    if backend == "pallas" and not interpret:
+        from tpu_zkpool.utils import aot
+        if aot.enabled():
+            fn = aot.cached_call(
+                f"msm_rows_n{rows.shape[0]}x{rows.shape[2]}", _msm_rows,
+                (jax.ShapeDtypeStruct(rows.shape, jnp.uint32),
+                 jax.ShapeDtypeStruct(scalar_limbs.shape, jnp.uint32))
+                + statics,
+                static_args=statics)
+            return fn(rows, scalar_limbs)
+    return _msm_rows(rows, scalar_limbs, *statics)
+
+
 def msm_grid_g1(points, scalar_limbs, c: int = 13, backend: str = "pallas",
                 interpret: bool = False, lanes: int = TILE_N,
                 complete: bool = True, limb15: bool = False,
@@ -1149,8 +1171,8 @@ def msm_grid_g1(points, scalar_limbs, c: int = 13, backend: str = "pallas",
     """
     X, Y, Z = points
     rows = jnp.stack([X, Y, Z], axis=1)[:, :, None, :]
-    out = _msm_rows(rows, jnp.asarray(scalar_limbs), c, backend, interpret,
-                    lanes, complete, limb15, nbits)
+    out = _msm_rows_dispatch(rows, jnp.asarray(scalar_limbs), c, backend,
+                             interpret, lanes, complete, limb15, nbits)
     return out[0, 0], out[1, 0], out[2, 0]
 
 
@@ -1165,8 +1187,8 @@ def msm_grid_g2(points, scalar_limbs, c: int = 13, backend: str = "pallas",
     """
     X, Y, Z = points
     rows = jnp.stack([X, Y, Z], axis=1)
-    out = _msm_rows(rows, jnp.asarray(scalar_limbs), c, backend, interpret,
-                    lanes, complete, limb15, nbits)
+    out = _msm_rows_dispatch(rows, jnp.asarray(scalar_limbs), c, backend,
+                             interpret, lanes, complete, limb15, nbits)
     return out[0], out[1], out[2]
 
 
