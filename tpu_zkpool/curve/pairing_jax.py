@@ -357,8 +357,22 @@ def pairing_product_is_one(g1_points, g2_points) -> jnp.ndarray:
     Fp2 affine pairs. Returns bool[...]. Jitted (pytree args): the Miller
     loops + final exponentiation compile to one device program instead of
     dispatching thousands of eager limb ops through the runtime.
+
+    On the TPU backend the module replays from the ``utils/aot.py``
+    export cache — re-tracing the Miller/final-exp scans cost minutes per
+    process and dominated the batched-verify wall (bench round 4:
+    620 s with the XLA executable itself already compile-cached).
     """
-    return _ppio_jit(tuple(g1_points), tuple(g2_points))
+    args = (tuple(g1_points), tuple(g2_points))
+    if jax.default_backend() != "cpu":
+        from tpu_zkpool.utils import aot
+        if aot.enabled():
+            sds = jax.tree_util.tree_map(
+                lambda a: jax.ShapeDtypeStruct(jnp.shape(a), jnp.asarray(a).dtype),
+                args)
+            fn = aot.cached_call("ppio", _ppio_jit, (sds[0], sds[1]))
+            return fn(*args)
+    return _ppio_jit(*args)
 
 
 @jax.jit

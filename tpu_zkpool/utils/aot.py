@@ -91,10 +91,11 @@ def cached_call(name: str, fn, example_args, static_args=()):
     source fingerprint form the cache key.
     """
     import jax
+    from jax import tree_util as jtu
 
     shapes = tuple(
         (tuple(a.shape), str(a.dtype))
-        for a in example_args
+        for a in jtu.tree_leaves(example_args)
         if hasattr(a, "shape")
     )
     backend = jax.default_backend()
