@@ -376,8 +376,32 @@ def _stream_child(group, deadline, extra, notes, hard_deadline=None):
         proc = subprocess.Popen(
             [sys.executable, os.path.abspath(__file__), "--child", group,
              repr(deadline)],
-            stdout=subprocess.PIPE, stderr=errf, text=True,
+            stdout=subprocess.PIPE, stderr=errf,
             start_new_session=True)
+
+    # Raw-fd line reader: selectors + TextIO.readline can strand a second
+    # line inside the text buffer (invisible to select), and a RESULT
+    # line written just before the deadline must still be parsed after
+    # the kill — so read bytes ourselves and keep our own buffer.
+    buf = b""
+
+    def handle(data):
+        nonlocal buf
+        buf += data
+        while b"\n" in buf:
+            raw, buf = buf.split(b"\n", 1)
+            line = raw.decode(errors="replace").strip()
+            if line.startswith("RESULT "):
+                _, key, val = line.split(" ", 2)
+                try:
+                    extra[key] = round(float(val), 3)
+                except ValueError:
+                    notes.append(f"bad value for {key}")
+                emit(extra)
+            elif line.startswith("NOTE "):
+                notes.append(line[5:])
+
+    fd = proc.stdout.fileno()
     sel = selectors.DefaultSelector()
     sel.register(proc.stdout, selectors.EVENT_READ)
     try:
@@ -393,19 +417,10 @@ def _stream_child(group, deadline, extra, notes, hard_deadline=None):
                 if proc.poll() is not None:
                     break
                 continue
-            line = proc.stdout.readline()
-            if not line:              # EOF
+            data = os.read(fd, 65536)
+            if not data:              # EOF
                 break
-            line = line.strip()
-            if line.startswith("RESULT "):
-                _, key, val = line.split(" ", 2)
-                try:
-                    extra[key] = round(float(val), 3)
-                except ValueError:
-                    notes.append(f"bad value for {key}")
-                emit(extra)
-            elif line.startswith("NOTE "):
-                notes.append(line[5:])
+            handle(data)
     finally:
         sel.close()
         if proc.poll() is None:
@@ -413,11 +428,29 @@ def _stream_child(group, deadline, extra, notes, hard_deadline=None):
                 os.killpg(proc.pid, signal.SIGKILL)
             except (ProcessLookupError, PermissionError):
                 proc.kill()
+        # Drain anything the child wrote before dying — a completed
+        # metric must not be lost to kill timing (after SIGKILL the pipe
+        # has whatever was buffered, then EOF).
+        try:
+            os.set_blocking(fd, False)
+            while True:
+                try:
+                    data = os.read(fd, 65536)
+                except (BlockingIOError, OSError):
+                    break
+                if not data:
+                    break
+                handle(data)
+        except Exception:
+            pass
         try:
             proc.stdout.close()
         except Exception:
             pass
-        proc.wait(timeout=30)
+        try:
+            proc.wait(timeout=30)
+        except Exception:
+            notes.append(f"group {group} unreaped")
 
 
 def main():
@@ -442,6 +475,8 @@ def main():
                       hard_deadline=deadline - 30)
         if time.time() < deadline - 60:
             _stream_child("B", deadline - 15, extra, notes)
+        else:
+            notes.append("group B skipped: budget exhausted by group A")
     except Exception as e:  # noqa: BLE001 — the headline must still land
         notes.append(f"parent error: {str(e)[:200]}")
     extra["notes"] = notes[-20:]

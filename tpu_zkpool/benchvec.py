@@ -40,6 +40,13 @@ def msm_inputs(log2n: int, seed: int = MSM_SEED):
 
 _VEC_DIR = os.path.expanduser("~/.cache/tpu_zkpool_benchvec")
 
+# Bump whenever the input recipe (msm_inputs), the limb layout
+# (fields/limbs.py), or the Montgomery encoding changes: the version is
+# part of the npz filename, so stale arrays from an older encoding are
+# never served (the committed-point assert in bench.py would catch it at
+# runtime, but only by failing the metric for the whole round).
+_VEC_VERSION = 1
+
 
 def msm_device_arrays(log2n: int, seed: int = MSM_SEED):
     """(X, Y, Z, scalar_limbs) numpy uint32 [N, 16] Montgomery limb
@@ -53,7 +60,8 @@ def msm_device_arrays(log2n: int, seed: int = MSM_SEED):
     as flat npz (~200 MB/size)."""
     import numpy as np
 
-    path = os.path.join(_VEC_DIR, f"msm_g1_seed{seed}_log{log2n}.npz")
+    path = os.path.join(
+        _VEC_DIR, f"msm_g1_v{_VEC_VERSION}_seed{seed}_log{log2n}.npz")
     if os.path.exists(path):
         z = np.load(path)
         X, Y, L = z["X"], z["Y"], z["L"]

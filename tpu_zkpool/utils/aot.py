@@ -64,20 +64,42 @@ def _load_or_export(key: str, fn_and_args_thunk):
 
     if key in _RESOLVED:
         return _RESOLVED[key]
-    path = os.path.join(_AOT_DIR, f"{key}.jaxexport")
+    # Entries live under a per-source-fingerprint subdirectory so stale
+    # generations (every edit to tpu_zkpool/*.py orphans ~30 MB modules)
+    # can be pruned wholesale on the next write.
+    gen_dir = os.path.join(_AOT_DIR, source_fingerprint())
+    path = os.path.join(gen_dir, f"{key}.jaxexport")
     if os.path.exists(path):
         with open(path, "rb") as f:
             exp = jexp.deserialize(f.read())
     else:
         fn, args = fn_and_args_thunk()
         exp = jexp.export(fn)(*args)
-        os.makedirs(_AOT_DIR, exist_ok=True)
+        _prune_stale_generations(gen_dir)
+        os.makedirs(gen_dir, exist_ok=True)
         tmp = f"{path}.tmp.{os.getpid()}"
         with open(tmp, "wb") as f:
             f.write(exp.serialize())
         os.replace(tmp, path)
     _RESOLVED[key] = jax.jit(exp.call)
     return _RESOLVED[key]
+
+
+def _prune_stale_generations(keep_dir: str) -> None:
+    import shutil
+
+    if not os.path.isdir(_AOT_DIR):
+        return
+    keep = os.path.basename(keep_dir)
+    for d in os.listdir(_AOT_DIR):
+        full = os.path.join(_AOT_DIR, d)
+        if d != keep and os.path.isdir(full):
+            shutil.rmtree(full, ignore_errors=True)
+        elif d.endswith(".jaxexport"):      # pre-subdir flat layout
+            try:
+                os.remove(full)
+            except OSError:
+                pass
 
 
 def cached_call(name: str, fn, example_args, static_args=()):
