@@ -89,7 +89,7 @@ def test_msm_dispatch_kill_switch(monkeypatch):
 
     rows = jnp.zeros((1024, 3, 1, 16), jnp.uint32)
     limbs = jnp.zeros((1024, 16), jnp.uint32)
-    statics = (13, "pallas", False, 1024, True, True, 255)
+    statics = (13, "pallas", False, 1024, True, True, 255, False)
 
     monkeypatch.setenv("TPUZK_NO_AOT", "1")
     assert not aot.enabled()
@@ -104,7 +104,7 @@ def test_msm_dispatch_kill_switch(monkeypatch):
 
     # the XLA backend must never touch the AOT path
     out = grid._msm_rows_dispatch(rows, limbs, 13, "xla", False, 1024,
-                                  True, False, 255)
+                                  True, False, 255, False)
     assert out == "jit-out" and calls[-1][0] == "jit"
 
 

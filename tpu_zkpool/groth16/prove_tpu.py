@@ -122,7 +122,7 @@ class DeviceProvingKey:
 
     def __init__(self, pk: g16.ProvingKey, c: int = 13,
                  backend: str = "pallas", complete: bool = True,
-                 limb15: bool = True):
+                 limb15: bool = True, tree: bool = False):
         # complete=False (prover mode, grid._finish) drops the doubling
         # branch: safe for large pseudorandom query sets (collision
         # probability ~2^-254 per add) but NOT for tiny/structured circuits
@@ -135,6 +135,9 @@ class DeviceProvingKey:
         self.backend = backend
         self.complete = complete
         self.limb15 = limb15 if backend == "pallas" else False
+        # tree: batched-affine bucket accumulation (msm/affine_tree.py)
+        # for the G1 legs; the G2 leg keeps the prefix path (ncomp == 2).
+        self.tree = tree
         # Unify small G1 legs to ONE padded size so the prover compiles a
         # single _msm_rows graph instead of one per distinct leg length:
         # each new grid size costs minutes of Mosaic compile through the
@@ -165,7 +168,7 @@ class DeviceProvingKey:
                  else _scalar_limbs(scalars, npad))
         return msm_grid_g1(points_dev, limbs[:npad], c=self.c,
                            backend=self.backend, complete=self.complete,
-                           limb15=self.limb15)
+                           limb15=self.limb15, tree=self.tree)
 
     def _msm_g2_dispatch(self, scalars):
         limbs = (scalars if isinstance(scalars, jnp.ndarray)

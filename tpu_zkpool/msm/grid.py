@@ -952,7 +952,7 @@ SUB_LOG2 = 17
 
 
 def window_sums(rows, scalar_limbs, c, be, sub_log2=SUB_LOG2,
-                nbits=SCALAR_BITS):
+                nbits=SCALAR_BITS, tree=False):
     """Per-window Pippenger sums S_w (W, 3, ncomp, 16) of the local point
     set — everything except the final Horner combine. This is the sharding
     seam: point-axis-sharded MSM computes local window sums per device,
@@ -971,16 +971,17 @@ def window_sums(rows, scalar_limbs, c, be, sub_log2=SUB_LOG2,
 
         def body(acc, xs):
             r, l = xs
-            Sw = _window_sums_one(r, l, c, be, nbits)
+            Sw = _window_sums_one(r, l, c, be, nbits, tree)
             return be.addn(acc, Sw), None
 
         init = jnp.zeros((W, 3) + rows.shape[2:], jnp.uint32)
         acc, _ = jax.lax.scan(body, init, (rsub, lsub))
         return acc
-    return _window_sums_one(rows, scalar_limbs, c, be, nbits)
+    return _window_sums_one(rows, scalar_limbs, c, be, nbits, tree)
 
 
-def _window_sums_one(rows, scalar_limbs, c, be, nbits=SCALAR_BITS):
+def _window_sums_one(rows, scalar_limbs, c, be, nbits=SCALAR_BITS,
+                     tree=False):
     """One slice of ``window_sums`` (the round-1 full pipeline, with the
     per-window point stream fed to the kernel-side retile path
     ``prefix_signed`` in step-major order)."""
@@ -1011,6 +1012,33 @@ def _window_sums_one(rows, scalar_limbs, c, be, nbits=SCALAR_BITS):
     payload = (jnp.arange(N, dtype=jnp.uint32)[:, None]
                | (neg.astype(jnp.uint32) << 31))   # (N, W)
     skeys, svals = jax.lax.sort((bucket, payload), dimension=0, num_keys=1)
+
+    if tree and ncomp == 1:
+        # Batched-affine pairwise tree over the sorted bucket segments
+        # (msm/affine_tree.py) — replaces the chunk-prefix + boundary
+        # machinery below with ~5M+1S affine adds per point.
+        from tpu_zkpool.msm import affine_tree as at
+        xyf = xy.reshape(N, 2 * NLIMB)
+        sv_t = svals.T                            # (W, N)
+        pts_list = []
+        for w in range(W):
+            order = sv_t[w] & jnp.uint32(0x7FFFFFFF)
+            pw = _take0(xyf, order)
+            sg = (sv_t[w] >> 31) != 0
+            ys = pw[:, NLIMB:]
+            ys = jnp.where(sg[:, None], jnp.asarray(FP.neg(ys)), ys)
+            pts_list.append(jnp.concatenate([pw[:, :NLIMB], ys], axis=1))
+        if isinstance(be, PallasBackend):
+            level_fn = functools.partial(at.tree_level_pallas,
+                                         complete=be.complete,
+                                         interpret=be.interpret,
+                                         limb15=be.limb15)
+        else:
+            level_fn = functools.partial(at.tree_level_xla,
+                                         complete=be.complete)
+        B = at.bucket_sums_tree(pts_list, skeys.T.astype(jnp.int32), half,
+                                level_fn, be.complete)
+        return _reduce_buckets(B, W, half, C, L, be, ncomp)
     # ONE transpose to step-major payload for all windows (the per-window
     # (lanes, k) transpose inside the scan cost 135 us/window at 2^17;
     # this 3-D copy replaces 160 of them with 8 at 2^20).
@@ -1101,8 +1129,12 @@ def _window_sums_one(rows, scalar_limbs, c, be, nbits=SCALAR_BITS):
     hi = E[:, 2:].reshape(W * half, 3, ncomp, NLIMB)
     B = be.addn(hi, lo).reshape(W, half, 3, ncomp, NLIMB)
     # B[w, j-1] = bucket j's sum, j = 1..half
+    return _reduce_buckets(B, W, half, C, L, be, ncomp)
 
-    # ---- bucket reduction: sum_j j*B_j, j = m*L + (l+1) ----
+
+def _reduce_buckets(B, W, half, C, L, be, ncomp):
+    """Bucket reduction sum_j j*B_j per window, j = m*L + (l+1), from the
+    dense bucket rows B (W, half, 3, ncomp, NLIMB)."""
     Bm = B.reshape(W * C, L, 3, ncomp, NLIMB)
     T, U = be.wsum(Bm)                             # (W*C,) lanes
     T = T.reshape(W, C, 3, ncomp, NLIMB)
@@ -1123,27 +1155,27 @@ def _window_sums_one(rows, scalar_limbs, c, be, nbits=SCALAR_BITS):
     return be.scale_add(mT, sU, L.bit_length() - 1)   # (W, 3, ncomp, L)
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5, 6, 7, 8))
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5, 6, 7, 8, 9))
 def _msm_rows(rows, scalar_limbs, c, backend, interpret, lanes, complete,
-              limb15=False, nbits=SCALAR_BITS):
+              limb15=False, nbits=SCALAR_BITS, tree=False):
     """rows: uint32[N, 3, ncomp, 16] Jacobian Montgomery points with Z in
     {R, 0}; scalar_limbs: uint32[N, 16] plain. N must be a multiple of
     ``lanes``. Returns the MSM as one point row (3, ncomp, 16)."""
     be = make_backend(backend, rows.shape[2], interpret, lanes, complete,
                       limb15)
-    S = window_sums(rows, scalar_limbs, c, be, nbits=nbits)
+    S = window_sums(rows, scalar_limbs, c, be, nbits=nbits, tree=tree)
     return be.horner(S, c)                         # (3, ncomp, L)
 
 
 def _msm_rows_dispatch(rows, scalar_limbs, c, backend, interpret, lanes,
-                       complete, limb15, nbits):
+                       complete, limb15, nbits, tree=False):
     """Route through the disk-cached exported module for the Pallas
     backend: tracing+lowering the big limb graphs costs minutes per
     process (utils/aot.py round-4 measurements) and the module depends
     only on shapes + static config + source version. The XLA backend
     (CPU tests, virtual meshes) keeps the plain jit — its modules are
     small and the export would pin the wrong platform."""
-    statics = (c, backend, interpret, lanes, complete, limb15, nbits)
+    statics = (c, backend, interpret, lanes, complete, limb15, nbits, tree)
     if backend == "pallas" and not interpret:
         from tpu_zkpool.utils import aot
         if aot.enabled():
@@ -1160,35 +1192,41 @@ def _msm_rows_dispatch(rows, scalar_limbs, c, backend, interpret, lanes,
 def msm_grid_g1(points, scalar_limbs, c: int = 13, backend: str = "pallas",
                 interpret: bool = False, lanes: int = TILE_N,
                 complete: bool = True, limb15: bool = False,
-                nbits: int = SCALAR_BITS):
+                nbits: int = SCALAR_BITS, tree: bool = False):
     """Grid-accumulator MSM over G1.
 
     points: (X, Y, Z) uint32[N, 16] Montgomery Jacobian with Z in {R, 0}
     (affine inputs or identity padding); scalar_limbs uint32[N, 16] plain.
     N must be a multiple of ``lanes``. Returns (X, Y, Z) uint32[16] each.
     ``lanes``/``complete``: see PallasBackend; ``limb15`` switches the
-    prefix scans to the 15-bit-limb kernels (curve/limb15.py).
+    prefix scans to the 15-bit-limb kernels (curve/limb15.py); ``tree``
+    switches bucket accumulation to the batched-affine pairwise tree
+    (msm/affine_tree.py — ~5M+1S per add vs 8M+3S).
     """
     X, Y, Z = points
     rows = jnp.stack([X, Y, Z], axis=1)[:, :, None, :]
     out = _msm_rows_dispatch(rows, jnp.asarray(scalar_limbs), c, backend,
-                             interpret, lanes, complete, limb15, nbits)
+                             interpret, lanes, complete, limb15, nbits,
+                             tree)
     return out[0, 0], out[1, 0], out[2, 0]
 
 
 def msm_grid_g2(points, scalar_limbs, c: int = 13, backend: str = "pallas",
                 interpret: bool = False, lanes: int = TILE_N,
                 complete: bool = True, limb15: bool = False,
-                nbits: int = SCALAR_BITS):
+                nbits: int = SCALAR_BITS, tree: bool = False):
     """Grid-accumulator MSM over G2 (coordinates in Fp2).
 
     points: (X, Y, Z) uint32[N, 2, 16] Montgomery Jacobian (Z in {R, 0}).
-    Returns (X, Y, Z) uint32[2, 16] each.
+    Returns (X, Y, Z) uint32[2, 16] each. ``tree`` is accepted for API
+    parity but the affine tree currently implements ncomp == 1 only
+    (window_sums falls back to the prefix path for G2).
     """
     X, Y, Z = points
     rows = jnp.stack([X, Y, Z], axis=1)
     out = _msm_rows_dispatch(rows, jnp.asarray(scalar_limbs), c, backend,
-                             interpret, lanes, complete, limb15, nbits)
+                             interpret, lanes, complete, limb15, nbits,
+                             tree)
     return out[0], out[1], out[2]
 
 
