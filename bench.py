@@ -247,18 +247,23 @@ def bench_groth16_prove_batch(st, B=4, iters=3):
     return B / min(times)
 
 
-def bench_verify_batch(st, B=32):
-    """Batched verify of B REAL withdraw-circuit proofs (the committed
-    8,899-row circuit's VK — not a toy R1CS): proofs come from the device
-    prover with distinct blinding seeds, then verify_batch folds all
-    Miller loops into one shared final exponentiation on chip. This is the
+def bench_verify_batch(st, B=256, distinct=32):
+    """Batched verify of B withdraw-circuit proofs (the committed
+    8,899-row circuit's VK — not a toy R1CS): ``distinct`` real proofs
+    from the device prover (distinct blinding seeds) tiled to batch B —
+    verify work is data-independent, so the tiling measures honest
+    per-verification throughput while keeping the proving prelude within
+    the bench budget. verify_batch (round 5) runs the precomputed-lines
+    Miller loop — fixed VK legs walked once on the host, per-proof B legs
+    with host-batched Fp2 inversions, e(alpha,beta) as the compare
+    target — and one shared cyclotomic final exponentiation. This is the
     on-chain per-proof verify of withdraw.rs:163-175, batched chip-wide."""
     from tpu_zkpool.groth16 import prove_tpu, verify_tpu
 
     if st.proofs32 is None:
-        st.proofs32 = prove_tpu.prove_batch(st.dpk, st.ar.r1cs, [st.w] * B,
-                                            seed=900)
-    proofs = st.proofs32
+        st.proofs32 = prove_tpu.prove_batch(st.dpk, st.ar.r1cs,
+                                            [st.w] * distinct, seed=900)
+    proofs = (st.proofs32 * (B // distinct + 1))[:B]
     pubs = [st.w[1:st.ar.r1cs.num_public]] * B
     ok = verify_tpu.verify_batch(st.vk, proofs, pubs)   # compile + warm
     assert ok.all()
@@ -275,10 +280,13 @@ def bench_verify_batch(st, B=32):
 # Estimated minimum useful wall (warm compile) per metric; a metric is
 # skipped when less than this remains, so the child never starts work it
 # cannot finish.
+# Round 5: verify moved BEFORE prove_batch (VERDICT r4 #2 — it was the
+# one metric the round-4 deadline cut) and scaled to batch 256 over the
+# precomputed-lines pairing path.
 GROUPS = {
     "A": [("msm20", 60), ("poseidon", 30), ("rlwe", 30), ("msm17", 45),
           ("msm22", 90)],
-    "B": [("prove", 90), ("prove_batch", 60), ("verify32", 60)],
+    "B": [("prove", 90), ("verify256", 60), ("prove_batch", 60)],
 }
 
 KEYS = {
@@ -289,7 +297,7 @@ KEYS = {
     "rlwe": "rlwe_polymul_1024_per_s",
     "prove": "groth16_prove_withdraw_per_s",
     "prove_batch": "groth16_prove_batch4_per_s",
-    "verify32": "groth16_verify_batch32_per_s",
+    "verify256": "groth16_verify_batch256_per_s",
 }
 
 
@@ -309,7 +317,7 @@ def child(group, deadline):
             return bench_poseidon()
         if name == "rlwe":
             return bench_rlwe()
-        if name in ("prove", "prove_batch", "verify32"):
+        if name in ("prove", "prove_batch", "verify256"):
             if st is None:
                 st = _Groth16State()
             if name == "prove":

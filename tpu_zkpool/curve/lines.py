@@ -145,6 +145,80 @@ def precompute_g2_lines(q) -> LineArrays:
     return _pack([g2_line_schedule(q)])
 
 
+def _batch_f2_inv(ds):
+    """Invert a list of Fp2 values with ONE Fp inversion total: per-value
+    norm n = a^2 + b^2 (u^2 = -1), Montgomery-trick batch inversion of the
+    norms, then inv = conj / norm. The per-proof line precompute walks
+    ~110 schedule steps; without this each step pays len(qs) modular
+    exponentiations (the dominant host cost at batch 256)."""
+    norms = [(a * a + b * b) % P for a, b in ds]
+    pref = [1]
+    for n in norms:
+        pref.append(pref[-1] * n % P)
+    inv_all = pow(pref[-1], P - 2, P)
+    out = [None] * len(ds)
+    for i in range(len(ds) - 1, -1, -1):
+        ninv = inv_all * pref[i] % P
+        inv_all = inv_all * norms[i] % P
+        a, b = ds[i]
+        out[i] = (a * ninv % P, (-b * ninv) % P)
+    return out
+
+
+def g2_line_schedules_batch(qs):
+    """``g2_line_schedule`` for many G2 points at once, with the per-step
+    Fp2 inversions batched across the points (one Fp exponentiation per
+    schedule step instead of one per point per step)."""
+    n = len(qs)
+    ts = list(qs)
+    dbl = [[] for _ in range(n)]
+    add = [[] for _ in range(n)]
+
+    def steps(is_dbl, out_lists):
+        if is_dbl:
+            dens = [pr.f2_scalar(ty, 2) for (_, ty) in ts]
+            nums = [pr.f2_scalar(pr.f2_sqr(tx), 3) for (tx, _) in ts]
+            qs_step = ts
+        else:
+            dens = [pr.f2_sub(qx, tx) for (tx, _), (qx, _) in zip(ts, qs)]
+            nums = [pr.f2_sub(qy, ty) for (_, ty), (_, qy) in zip(ts, qs)]
+            qs_step = qs
+        invs = _batch_f2_inv(dens)
+        for i in range(n):
+            tx, ty = ts[i]
+            qx, _ = qs_step[i]
+            lam = pr.f2_mul(nums[i], invs[i])
+            x3 = pr.f2_sub(pr.f2_sub(pr.f2_sqr(lam), tx), qx)
+            y3 = pr.f2_sub(pr.f2_mul(lam, pr.f2_sub(tx, x3)), ty)
+            beta = pr.f2_sub(pr.f2_mul(lam, tx), ty)
+            ts[i] = (x3, y3)
+            out_lists[i].append((pr.f2_neg(lam), beta))
+
+    for b in ATE_BITS:
+        steps(True, dbl)
+        if b:
+            steps(False, add)
+        else:
+            for lst in add:
+                lst.append((_F2Z, _F2Z))
+    end = [[] for _ in range(n)]
+    q1s = [pr.g2_frobenius(q) for q in qs]
+    q2s = [pr.g2_neg(pr.g2_frobenius(q1)) for q1 in q1s]
+    for qstep in (q1s, q2s):
+        dens = [pr.f2_sub(qx, tx) for (tx, _), (qx, _) in zip(ts, qstep)]
+        invs = _batch_f2_inv(dens)
+        for i in range(n):
+            tx, ty = ts[i]
+            qx, qy = qstep[i]
+            lam = pr.f2_mul(pr.f2_sub(qy, ty), invs[i])
+            x3 = pr.f2_sub(pr.f2_sub(pr.f2_sqr(lam), tx), qx)
+            y3 = pr.f2_sub(pr.f2_mul(lam, pr.f2_sub(tx, x3)), ty)
+            beta = pr.f2_sub(pr.f2_mul(lam, tx), ty)
+            ts[i] = (x3, y3)
+            end[i].append((pr.f2_neg(lam), beta))
+    return [(dbl[i], add[i], end[i]) for i in range(n)]
+
+
 def precompute_g2_lines_batch(qs) -> LineArrays:
     """Batched per-proof lines: qs = [Fp2 affine pairs] -> (S, n, 16) arrays."""
-    return _pack([g2_line_schedule(q) for q in qs])
+    return _pack(g2_line_schedules_batch(qs))

@@ -472,7 +472,20 @@ def pairing_lines_equal(g1_points, legs, target=None) -> jnp.ndarray:
     target: host Fp12 (pairing_ref layout) or None for 1 — e.g. the per-VK
     constant e(alpha, beta) that replaces a whole Miller-loop leg in
     Groth16 verification. Returns bool[batch].
+
+    On the TPU backend the module replays from the ``utils/aot.py``
+    export cache (same rationale as ``pairing_product_is_one``: the
+    Miller/final-exp scans cost minutes of per-process tracing).
     """
     tl = f12_to_limbs(target) if target is not None \
         else tw.f12_one(())
-    return _ppl_jit(tuple(g1_points), tuple(legs), tl)
+    args = (tuple(g1_points), tuple(legs), tl)
+    if jax.default_backend() != "cpu":
+        from tpu_zkpool.utils import aot
+        if aot.enabled():
+            sds = jax.tree_util.tree_map(
+                lambda a: jax.ShapeDtypeStruct(jnp.shape(a),
+                                               jnp.asarray(a).dtype), args)
+            fn = aot.cached_call("ppl", _ppl_jit, sds)
+            return fn(*args)
+    return _ppl_jit(*args)
