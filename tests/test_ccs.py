@@ -159,3 +159,25 @@ def test_coefficient_provenance(gccs, ours):
                         else (c for _, c in row))
     inter = mine.intersection(gccs.coefficients)
     assert len(inter) >= 0.75 * len(gccs.coefficients)
+
+
+def test_every_coefficient_accounted(gccs):
+    """With the hint calldata decoded (ccs_solve.decode_hint), EVERY one
+    of the 1629 coefficient-table entries is referenced by an R1C row or
+    a hint-input linear expression — the former 18% "residue" of
+    test_coefficient_provenance is fully explained as gadget constants
+    consumed via hint inputs (GLV lattice/lambda limbs, emulated-modulus
+    limbs, mulHint padding constants, logderiv table entries)."""
+    from tpu_zkpool.groth16 import ccs_solve
+    used = set()
+    for row in gccs.constraints:
+        for cid, _ in row.L + row.R + row.O:
+            used.add(cid)
+    row_only = len(used)
+    for h in gccs.hint_calls:
+        inputs, _ = ccs_solve.decode_hint(h)
+        for terms in inputs:
+            for cid, _ in terms:
+                used.add(cid)
+    assert row_only < len(gccs.coefficients)      # hints DO add coverage
+    assert used == set(range(len(gccs.coefficients)))

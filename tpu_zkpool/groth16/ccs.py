@@ -174,6 +174,7 @@ class GnarkCCS:
     coefficients: list = field(default_factory=list)  # canonical ints < r
     constraints: list = field(default_factory=list)   # [R1CRow]
     hint_calls: list = field(default_factory=list)    # [HintCall]
+    schedule: list = field(default_factory=list)      # [("r1c"|"hint", idx)]
     section_lens: tuple = (0, 0, 0, 0)  # levels, instructions, calldata, cbor
 
     @property
@@ -214,7 +215,7 @@ def _decode_calldata(section: bytes, hint_ids) -> tuple:
     vals = _decode_varints(section[8:])
     if len(vals) != n_values:
         raise ValueError(f"ccs: calldata decoded {len(vals)} != {n_values}")
-    rows, hints = [], []
+    rows, hints, schedule = [], [], []
     i = 0
     while i < len(vals):
         n = vals[i]
@@ -226,15 +227,17 @@ def _decode_calldata(section: bytes, hint_ids) -> tuple:
                 and rec[1] + rec[2] + rec[3] > 0):
             lL, lR, lO = rec[1], rec[2], rec[3]
             terms = [(rec[4 + 2 * k], rec[5 + 2 * k]) for k in range(lL + lR + lO)]
+            schedule.append(("r1c", len(rows)))
             rows.append(R1CRow(L=terms[:lL], R=terms[lL:lL + lR],
                                O=terms[lL + lR:]))
         elif rec[1] in hint_ids:
+            schedule.append(("hint", len(hints)))
             hints.append(HintCall(hint_id=rec[1], calldata=rec[2:]))
         else:
             raise ValueError(
                 f"ccs: record at {i - n} is neither R1C-shaped nor a known "
                 f"hint (head {rec[:6]})")
-    return rows, hints
+    return rows, hints, schedule
 
 
 def parse(data: bytes) -> GnarkCCS:
@@ -266,7 +269,7 @@ def parse(data: bytes) -> GnarkCCS:
 
     hints = dict(obj.get("MHintsDependencies") or {})
     calldata_off = 64 + levels_len + instr_len
-    rows, hint_calls = _decode_calldata(
+    rows, hint_calls, schedule = _decode_calldata(
         data[calldata_off:calldata_off + calldata_len], set(hints))
     if len(rows) != obj["NbConstraints"]:
         raise ValueError(
@@ -289,5 +292,6 @@ def parse(data: bytes) -> GnarkCCS:
         coefficients=coeffs,
         constraints=rows,
         hint_calls=hint_calls,
+        schedule=schedule,
         section_lens=(levels_len, instr_len, calldata_len, cbor_len),
     )
