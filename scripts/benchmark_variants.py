@@ -40,6 +40,11 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--full", action="store_true")
     ap.add_argument("--device", action="store_true")
+    ap.add_argument("--logderiv", action="store_true",
+                    help="benchmark the committed log-derivative range "
+                         "variants (builder.range_value — the 42x "
+                         "constraint-count mechanism of README.md:49) "
+                         "alongside the bit-decomposition ones")
     ap.add_argument("--variants", default=",".join(VARIANTS))
     ap.add_argument("--out", default=os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
@@ -64,11 +69,18 @@ def main():
     ct = ct_commitment_of(enc)
 
     results = {}
-    for variant in args.variants.split(","):
+    variant_list = args.variants.split(",")
+    if args.logderiv:
+        variant_list += [v + "+logderiv" for v in variant_list
+                         if v.startswith("const_pk")]
+    for variant in variant_list:
         print(f"=== {variant} ===", flush=True)
+        logderiv = variant.endswith("+logderiv")
+        base_variant = variant.split("+")[0]
         rec = {}
         t0 = time.time()
-        circ = build_audit_circuit(a_pk, b_pk, variant=variant)
+        circ = build_audit_circuit(a_pk, b_pk, variant=base_variant,
+                                   logderiv=logderiv)
         r1cs = circ.builder.r1cs()
         rec["build_s"] = round(time.time() - t0, 2)
         rec["constraints"] = len(r1cs.a_rows)
@@ -76,10 +88,23 @@ def main():
         print(f"  {rec['constraints']} constraints, {rec['wires']} wires "
               f"({rec['build_s']}s)", flush=True)
 
+        pkg = vkg = None
+        if logderiv:
+            # committed setup must precede witness assembly (the bsb22
+            # challenge is the commitment hash over pk.basis)
+            t0 = time.time()
+            pkg, vkg = g16.setup(r1cs, seed=5, committed=circ.committed)
+            rec["setup_s"] = round(time.time() - t0, 1)
+            rec["committed_wires"] = len(circ.committed)
         t0 = time.time()
-        w = circ.builder.witness(circ.assignment(
-            vectors.OWNER_X, vectors.OWNER_Y, enc, wa, ct,
-            vectors.SECRET_KEY))
+        if logderiv:
+            w = circ.builder.witness_committed(circ.assignment(
+                vectors.OWNER_X, vectors.OWNER_Y, enc, wa, ct,
+                vectors.SECRET_KEY), circ.v_challenge, pkg)
+        else:
+            w = circ.builder.witness(circ.assignment(
+                vectors.OWNER_X, vectors.OWNER_Y, enc, wa, ct,
+                vectors.SECRET_KEY))
         rec["witness_s"] = round(time.time() - t0, 2)
         t0 = time.time()
         sat = r1cs.is_satisfied(w)
@@ -91,9 +116,10 @@ def main():
 
         heavy = variant.startswith("var_pk")
         if args.full or args.device or not heavy:
-            t0 = time.time()
-            pkg, vkg = cached_setup(r1cs, verbose=True)
-            rec["setup_s"] = round(time.time() - t0, 1)
+            if pkg is None:
+                t0 = time.time()
+                pkg, vkg = cached_setup(r1cs, verbose=True)
+                rec["setup_s"] = round(time.time() - t0, 1)
             if args.device:
                 from tpu_zkpool.groth16 import prove_tpu
                 t0 = time.time()

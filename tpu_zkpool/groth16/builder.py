@@ -43,6 +43,10 @@ class CircuitBuilder:
         self.b_rows: list = []
         self.c_rows: list = []
         self.computes: list = []         # (var, fn(witness)->value) in order
+        # log-derivative range argument state (see range_value /
+        # finalize_range_checks): k -> list of checked value lcs
+        self._range_values: dict = {}
+        self._committed: list = []       # wires the bsb22 commitment binds
 
     # ------------------------------------------------------------ variables
 
@@ -106,6 +110,131 @@ class CircuitBuilder:
             bit_vars.append(b)
         self.assert_eq(x, lc(*[(pow(2, i, R), b) for i, b in enumerate(bit_vars)]))
         return bit_vars
+
+    # ---------------------------------------- log-derivative range checks
+    #
+    # gnark-style lookup replacement (std/internal/logderivarg, the
+    # mechanism behind the reference's "42x fewer constraints" claim,
+    # README.md:49): range-checked values cost ONE inverse row each
+    # instead of one row per bit. Soundness comes from the bsb22
+    # commitment: the checked limbs + multiplicity counts are Pedersen-
+    # committed, the challenge is the commitment's hash-to-field (a
+    # public input the verifier derives), and the rational identity
+    #   sum_i 1/(ch - v_i) == sum_t m_t/(ch - t),  t in [0, 2^k)
+    # is checked at the challenge — exactly the committed withdraw CCS's
+    # structure (rows 12424-12450 of shielded_pool_verifier.ccs, decoded
+    # in groth16/ccs_solve.py).
+
+    def commit_wire(self, v: int) -> int:
+        """Register a wire to be bound by the bsb22 commitment."""
+        self._committed.append(v)
+        return v
+
+    def range_value(self, x: dict, k: int) -> None:
+        """Assert the value of lc ``x`` lies in [0, 2^k) via the
+        log-derivative table. Every wire in ``x`` must be committed (or
+        public) — the caller's responsibility, since the challenge is
+        derived after the commitment only."""
+        self._range_values.setdefault(k, []).append(dict(x))
+
+    def limbs_logderiv(self, x: dict, n_bits: int, k: int = 8) -> list:
+        """Decompose lc ``x`` into ceil(n_bits/k) committed k-bit limb
+        wires, range-checked via the log-derivative table, with one
+        recomposition row. A short top limb (n_bits % k) is checked
+        scaled by 2^(k - rem) — the value lc trick of the committed
+        CCS's row 12427."""
+        n_limbs = -(-n_bits // k)
+        limbs = []
+        for i in range(n_limbs):
+            v = self.aux(lambda w, x=dict(x), i=i, k=k:
+                         (self._eval(x, w) >> (i * k)) & ((1 << k) - 1))
+            self.commit_wire(v)
+            rem = n_bits - i * k
+            if rem >= k:
+                self.range_value({v: 1}, k)
+            else:
+                self.range_value({v: pow(2, k - rem, R)}, k)
+            limbs.append(v)
+        self.assert_eq(x, lc(*[(pow(2, i * k, R), v)
+                               for i, v in enumerate(limbs)]))
+        return limbs
+
+    def finalize_range_checks(self, v_challenge: int) -> tuple:
+        """Emit the log-derivative identity rows for every table.
+
+        ``v_challenge`` must be the LAST public input; its witness value
+        is the commitment hash over ``committed_wires()`` (see
+        ``witness_committed``). Adds, per table of size T with V checked
+        values: V inverse rows + T count inverses + T products + 1 sum
+        row. Returns the committed wire tuple for setup()."""
+        for k in sorted(self._range_values):
+            values = self._range_values[k]
+            T = 1 << k
+
+            _cache = {"wid": None, "cnt": None}
+
+            def counts_of(w, values=values, T=T, _cache=_cache):
+                if _cache["wid"] != id(w):
+                    cnt = [0] * T
+                    for x in values:
+                        cnt[self._eval(x, w)] += 1
+                    _cache.update(wid=id(w), cnt=cnt)
+                return _cache["cnt"]
+
+            count_vars = []
+            for t in range(T):
+                cv = self.aux(lambda w, t=t, counts_of=counts_of:
+                              counts_of(w)[t])
+                self.commit_wire(cv)
+                count_vars.append(cv)
+            inv_sum = {}
+            for x in values:
+                diff = {v_challenge: 1}
+                for v, co in x.items():
+                    diff[v] = (diff.get(v, 0) - co) % R
+                iv = self.aux(lambda w, d=dict(diff):
+                              pow(self._eval(d, w), -1, R))
+                self.constrain(diff, {iv: 1}, {0: 1})
+                inv_sum[iv] = 1
+            term_sum = {}
+            for t in range(T):
+                diff = {v_challenge: 1, 0: (-t) % R}
+                tiv = self.aux(lambda w, d=dict(diff):
+                               pow(self._eval(d, w), -1, R))
+                self.constrain(diff, {tiv: 1}, {0: 1})
+                term = self.mul({count_vars[t]: 1}, {tiv: 1})
+                term_sum[term] = 1
+            self.assert_eq(inv_sum, term_sum)
+        # hiding randomizer (gnark's hints.Randomize wire): committed,
+        # unconstrained; memoized so the two-pass witness agrees
+        memo = {}
+
+        def rand_fn(w):
+            if "v" not in memo:
+                import secrets
+                memo["v"] = secrets.randbelow(R)
+            return memo["v"]
+
+        self.commit_wire(self.aux(rand_fn))
+        self._range_values = {}
+        return tuple(sorted(set(self._committed)))
+
+    def witness_committed(self, assignment: dict, v_challenge: int,
+                          pk) -> list:
+        """Two-pass witness assembly for committed circuits: pass 1 with
+        challenge 0 fixes every committed wire, the Pedersen commitment
+        over ``pk.basis`` derives the challenge (hash-to-field — the
+        same value prove()/verify() compute), pass 2 fills the
+        challenge-dependent inverse wires."""
+        from tpu_zkpool.refimpl import pedersen
+        # pass-1 dummy challenge: R-1 cannot collide with any table entry
+        # or checked value, so every (ch - v) inverse exists
+        w = self.witness({**assignment, v_challenge: R - 1})
+        vals = [w[i] for i in pk.committed]
+        cm, _ = pedersen.commit(list(pk.basis), list(pk.basis_exp_sigma),
+                                vals)
+        ch = pedersen.commitment_to_field(cm)
+        return self.witness({**assignment, v_challenge: ch})
 
     # -------------------------------------------------------------- gadgets
 

@@ -55,6 +55,8 @@ class AuditCircuit:
     v_pka: list = ()
     v_pkb: list = ()
     pk_values: tuple = ()    # (pk_a, pk_b) ints for var_pk assignment
+    v_challenge: int = -1    # logderiv mode: last public input
+    committed: tuple = ()    # wires bound by the bsb22 commitment
 
     def assignment(self, owner_x: int, owner_y: int, enc: dict,
                    wa: int, ct: int, sk: int) -> dict:
@@ -98,6 +100,25 @@ def _unpack(b: CircuitBuilder, packed_vars: list, n_slots: int) -> list:
     return slots
 
 
+def _unpack_logderiv(b: CircuitBuilder, packed_vars: list,
+                     n_slots: int) -> list:
+    """``_unpack`` with committed byte limbs + log-derivative range
+    checks: PACK_BITS/8 limb wires per slot instead of PACK_BITS bit
+    rows (~8x fewer range rows)."""
+    assert PACK_BITS % 8 == 0
+    per = PACK_BITS // 8
+    slots = []
+    for i, pv in enumerate(packed_vars):
+        n_here = min(PACK_WIDTH, n_slots - i * PACK_WIDTH)
+        limbs = b.limbs_logderiv({pv: 1}, PACK_BITS * n_here, 8)
+        for s in range(n_here):
+            slots.append(lc(*[
+                (pow(2, 8 * j, R), limbs[per * s + j]) for j in range(per)
+            ]))
+    assert len(slots) == n_slots
+    return slots
+
+
 def _byte_slots(b: CircuitBuilder, v: int) -> list:
     """254-bit decomposition -> 32 byte-slot lcs (generate_audit.py:376-396)."""
     bits = b.bits({v: 1}, 254)
@@ -119,7 +140,8 @@ def _range_signed(b: CircuitBuilder, v: int, bound: int = 128) -> None:
 
 
 def build_audit_circuit(pk_a: list, pk_b: list,
-                        variant: str = "const_pk_e_witness") -> AuditCircuit:
+                        variant: str = "const_pk_e_witness",
+                        logderiv: bool = False) -> AuditCircuit:
     """``variant`` selects the benchmark-harness circuit shape
     (reference ``scripts/benchmark_all.py:331-572``):
 
@@ -129,6 +151,14 @@ def build_audit_circuit(pk_a: list, pk_b: list,
     - e_witness / e_computed: noise terms as range-checked witnesses bound
       by the encryption identity, vs computed in-circuit as
       e = lhs - <row, r> (- Delta*msg) and then range-checked.
+
+    ``logderiv=True`` replaces every bit-decomposition range check with
+    the committed log-derivative table argument (builder.range_value) —
+    the mechanism behind sunspot/gnark's "42x fewer constraints" claim
+    (README.md:49): ~1 row per checked byte instead of 8. Adds a bsb22
+    commitment and a derived challenge as the LAST public input (the
+    committed withdraw CCS's exact structure); prove with
+    ``builder.witness_committed`` + ``setup(committed=...)``.
     """
     var_pk = variant.startswith("var_pk")
     e_computed = variant.endswith("e_computed")
@@ -137,6 +167,7 @@ def build_audit_circuit(pk_a: list, pk_b: list,
     b = CircuitBuilder()
     v_wa = b.public_input()
     v_ct = b.public_input()
+    v_challenge = b.public_input() if logderiv else -1
 
     v_c0p = [b.private_input() for _ in range(PACKED_C0)]
     v_c1p = [b.private_input() for _ in range(PACKED_C1)]
@@ -168,15 +199,27 @@ def build_audit_circuit(pk_a: list, pk_b: list,
     b.assert_eq({h: 1}, {v_wa: 1})
 
     # 2. unpack ciphertext
-    c0 = _unpack(b, v_c0p, MSG_SLOTS)
-    c1 = _unpack(b, v_c1p, N)
+    if logderiv:
+        c0 = _unpack_logderiv(b, v_c0p, MSG_SLOTS)
+        c1 = _unpack_logderiv(b, v_c1p, N)
+    else:
+        c0 = _unpack(b, v_c0p, MSG_SLOTS)
+        c1 = _unpack(b, v_c1p, N)
 
     # 3. message byte slots
-    msg = _byte_slots(b, v_x) + _byte_slots(b, v_y)
+    if logderiv:
+        msg = ([{v: 1} for v in b.limbs_logderiv({v_x: 1}, 254, 8)[:32]]
+               + [{v: 1} for v in b.limbs_logderiv({v_y: 1}, 254, 8)[:32]])
+    else:
+        msg = _byte_slots(b, v_x) + _byte_slots(b, v_y)
 
     # 4. range proofs on inputs that are witnesses
     for v in v_r + v_e1 + v_e2:
-        _range_signed(b, v)
+        if logderiv:
+            b.commit_wire(v)
+            b.range_value({v: 1, 0: 128}, 8)
+        else:
+            _range_signed(b, v)
 
     def inner_product_lc(pk_consts, pk_vars, i):
         """<negacyclic row i, r> as an lc. const_pk: linear with constant
@@ -214,7 +257,10 @@ def build_audit_circuit(pk_a: list, pk_b: list,
         if e_computed:
             # e1 = lhs - rhs, range-checked in place of the witness
             e_lc = lc_sub(lhs, rhs)
-            b.bits({**e_lc, 0: (e_lc.get(0, 0) + 128) % R}, 8)
+            if logderiv:
+                b.range_value({**e_lc, 0: (e_lc.get(0, 0) + 128) % R}, 8)
+            else:
+                b.bits({**e_lc, 0: (e_lc.get(0, 0) + 128) % R}, 8)
         else:
             rhs[v_e1[i]] = (rhs.get(v_e1[i], 0) + 1) % R
             b.assert_eq(lhs, rhs)
@@ -225,7 +271,10 @@ def build_audit_circuit(pk_a: list, pk_b: list,
         lhs[v_k1[i]] = (lhs.get(v_k1[i], 0) + RLWE_Q) % R
         if e_computed:
             e_lc = lc_sub(lhs, rhs)
-            b.bits({**e_lc, 0: (e_lc.get(0, 0) + 128) % R}, 8)
+            if logderiv:
+                b.range_value({**e_lc, 0: (e_lc.get(0, 0) + 128) % R}, 8)
+            else:
+                b.bits({**e_lc, 0: (e_lc.get(0, 0) + 128) % R}, 8)
         else:
             rhs[v_e2[i]] = (rhs.get(v_e2[i], 0) + 1) % R
             b.assert_eq(lhs, rhs)
@@ -250,10 +299,25 @@ def build_audit_circuit(pk_a: list, pk_b: list,
     state = b.poseidon2_permutation(state)
     b.assert_eq(state[0], {v_ct: 1})
 
+    committed = ()
+    if logderiv:
+        # every wire a checked value lc touches must be commitment-bound
+        # (the challenge is derived after the commitment only): the limb
+        # wires and v_r are registered above; the e_computed value lcs
+        # additionally reach the quotient witnesses.
+        if e_computed:
+            for v in v_k0 + v_k1:
+                b.commit_wire(v)
+        if var_pk:
+            for v in v_pka + v_pkb:
+                b.commit_wire(v)
+        committed = b.finalize_range_checks(v_challenge)
+
     return AuditCircuit(b, v_wa, v_ct, v_x, v_y, v_sk, v_c0p, v_c1p,
                         v_r, v_e1, v_e2, v_k0, v_k1,
                         v_pka if var_pk else (), v_pkb if var_pk else (),
-                        (tuple(pk_a), tuple(pk_b)) if var_pk else ())
+                        (tuple(pk_a), tuple(pk_b)) if var_pk else (),
+                        v_challenge, committed)
 
 
 def ct_commitment_of(enc: dict) -> int:
