@@ -110,6 +110,71 @@ def run_ntt(per_device: int, exchange: str = "ppermute",
     return out
 
 
+# ----------------------------------------------------- analytic ICI model
+#
+# Per-stage communication volume composed against v5e ICI bandwidth — the
+# prediction a real slice validates with the measured numbers above
+# (BASELINE.md >= 90% weak-scaling target at 2^22 MSM). Assumptions are
+# explicit model inputs, not measurements:
+#   ICI_BW:    ~4.5e10 B/s usable per link per direction (v5e 2D torus);
+#              ring collectives on one mesh axis ride one link pair.
+#   COLL_LAT:  ~25 us fixed latency per collective (launch + barrier).
+#   VPU_OPS:   3.85e12 uint32 ops/s nominal; the MSM runs at ~48.5% of it
+#              (scripts/roofline.py), so compute time uses the MEASURED
+#              3.45M pts/s per chip.
+
+ICI_BW = 4.5e10
+COLL_LAT = 25e-6
+MSM_RATE = 3.45e6          # pts/s/chip, BENCH_r04.json
+FR_MUL_OPS = 2465          # uint32 ops per mont mul (roofline shim)
+VPU = 3.85e12 * 0.485      # sustained uint32 ops/s at measured efficiency
+
+
+def model(log2n_msm=22, log2n_ntt=21, W=20, D=8):
+    """Predicted weak-scaling efficiency on a D-chip v5e slice."""
+    # --- MSM: point-sharded window sums + ONE all_gather of the
+    # (W, 3, 1, 16) per-device sums + (D-1)*W Jacobian fold adds.
+    n = 1 << log2n_msm
+    t_comp = (n / D) / MSM_RATE
+    ag_bytes = D * W * 3 * 16 * 4            # every device receives D sums
+    t_comm = COLL_LAT + ag_bytes / ICI_BW
+    fold_adds = (D - 1) * W
+    t_fold = fold_adds * 16 * FR_MUL_OPS / VPU   # ~12M+4S complete adds
+    eff_msm = t_comp / (t_comp + t_comm + t_fold)
+
+    # --- Fr-domain NTT (the prover's H poly, 2^21 at 1.1M constraints):
+    # log2(D) cross-device butterfly stages each ppermute HALF the shard
+    # (64 B per Fr element in 16xu32 limbs); the remaining stages are
+    # device-local.
+    stages = log2n_ntt
+    cross = int(np.log2(D))
+    shard = (1 << log2n_ntt) // D
+    elem_b = 16 * 4
+    t_stage_comp = shard * FR_MUL_OPS / VPU      # ~1 mont mul/butterfly
+    t_stage_comm = COLL_LAT + (shard // 2) * elem_b / ICI_BW
+    t_local = stages * t_stage_comp
+    t_crossed = t_local + cross * t_stage_comm
+    eff_ntt = t_local / t_crossed
+
+    return {
+        "assumptions": {"ici_bytes_per_s": ICI_BW,
+                        "collective_latency_s": COLL_LAT,
+                        "msm_pts_per_s_chip": MSM_RATE},
+        "msm": {"log2n": log2n_msm, "D": D,
+                "all_gather_bytes": ag_bytes,
+                "fold_adds": fold_adds,
+                "t_compute_s": round(t_comp, 6),
+                "t_comm_s": round(t_comm + t_fold, 9),
+                "predicted_weak_scaling_eff": round(eff_msm, 5)},
+        "ntt_fr": {"log2n": log2n_ntt, "D": D,
+                   "cross_stages": cross,
+                   "bytes_per_cross_stage": (shard // 2) * elem_b,
+                   "t_stage_compute_s": round(t_stage_comp, 9),
+                   "t_stage_comm_s": round(t_stage_comm, 9),
+                   "predicted_weak_scaling_eff": round(eff_ntt, 4)},
+    }
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--per-device", type=int, default=4096)
@@ -119,12 +184,18 @@ def main():
                     help="sharded-NTT cross-device stage: ppermute | rdma "
                          "(double-buffered Pallas remote copies; on CPU "
                          "meshes runs the kernels in interpret mode)")
+    ap.add_argument("--model-only", action="store_true")
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
-    interp = (args.exchange == "rdma"
-              and jax.devices()[0].platform == "cpu")
-    res = run_ntt(args.per_device, args.exchange, interp) if args.ntt \
-        else run_msm(args.per_device, args.backend)
+    if args.model_only:
+        res = {"model": model()}
+    else:
+        interp = (args.exchange == "rdma"
+                  and jax.devices()[0].platform == "cpu")
+        res = run_ntt(args.per_device, args.exchange, interp) if args.ntt \
+            else run_msm(args.per_device, args.backend)
+        res["model"] = model()
+    print(json.dumps(res.get("model", res), indent=1))
     if args.out:
         with open(args.out, "w") as f:
             json.dump(res, f, indent=1)
