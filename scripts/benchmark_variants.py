@@ -123,7 +123,12 @@ def main():
             if args.device:
                 from tpu_zkpool.groth16 import prove_tpu
                 t0 = time.time()
-                dpk = prove_tpu.DeviceProvingKey(pkg, backend="pallas")
+                # const-PK circuits (~71K rows) pad every leg to 2^17 so
+                # both variants (and the bench-warm G1 MSM size) share
+                # one set of compiled graphs
+                pad_to = (1 << 17) if len(r1cs.a_rows) < (1 << 17) else 0
+                dpk = prove_tpu.DeviceProvingKey(pkg, backend="pallas",
+                                                 pad_to=pad_to)
                 rec["device_pk_upload_s"] = round(time.time() - t0, 1)
                 t0 = time.time()
                 proof = prove_tpu.prove(dpk, r1cs, w)

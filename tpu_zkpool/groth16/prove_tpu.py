@@ -93,10 +93,10 @@ def _points_device(pts: list, npad_to: int = 0):
     return (X, Y, Z), npad
 
 
-def _points_device_g2(pts: list):
+def _points_device_g2(pts: list, npad_to: int = 0):
     """Affine G2 points ((x0,x1),(y0,y1)) -> (N, 2, 16) coordinate limbs."""
     n = len(pts)
-    npad = _pad_up(n)
+    npad = max(_pad_up(n), npad_to)
     def comp(sel):
         vals = [sel(p) if p else (0, 0) for p in pts] + [(0, 0)] * (npad - n)
         return _unpack_dev(jnp.asarray(pack_limbs16(
@@ -122,7 +122,8 @@ class DeviceProvingKey:
 
     def __init__(self, pk: g16.ProvingKey, c: int = 13,
                  backend: str = "pallas", complete: bool = True,
-                 limb15: bool = True, tree: bool = False):
+                 limb15: bool = True, tree: bool = False,
+                 pad_to: int = 0):
         # complete=False (prover mode, grid._finish) drops the doubling
         # branch: safe for large pseudorandom query sets (collision
         # probability ~2^-254 per add) but NOT for tiny/structured circuits
@@ -146,15 +147,24 @@ class DeviceProvingKey:
         # sub-MSM slice — for million-constraint circuits the H leg is
         # several slices bigger than A/B1/K and unifying would add real
         # MSM work, so those keep per-leg sizes.
+        # pad_to: force EVERY leg (G2 included) to one size — lets
+        # different circuits of similar scale share all compiled MSM
+        # graphs (e.g. the two const-PK audit variants both padded to
+        # the bench-warm 2^17 G1 size; scripts/benchmark_variants.py
+        # --device). Identity padding rows cost linear extra MSM work
+        # but zero new Mosaic compiles.
         from tpu_zkpool.msm.grid import SUB_LOG2
         npads = [_pad_up(len(q)) for q in
                  (pk.a_query, pk.b1_query, pk.k_query, pk.h_query)]
         unified = max(npads) if max(npads) <= (1 << SUB_LOG2) else 0
+        if pad_to:
+            assert pad_to >= max(npads), (pad_to, npads)
+            unified = pad_to
         self.a_query, self._na = _points_device(pk.a_query, unified)
         self.b1_query, _ = _points_device(pk.b1_query, unified)
         self.k_query, self._nk = _points_device(pk.k_query, unified)
         self.h_query, self._nh = _points_device(pk.h_query, unified)
-        self.b2_query, self._nb2 = _points_device_g2(pk.b2_query)
+        self.b2_query, self._nb2 = _points_device_g2(pk.b2_query, pad_to)
 
     # ---------------------------------------------------------------- MSMs
     #
