@@ -61,6 +61,16 @@ class LineArrays(NamedTuple):
     end_b1: jnp.ndarray
 
 
+# jax.export must serialize LineArrays pytrees when the lines pairing
+# path goes through the utils/aot.py module cache (pairing_lines_equal).
+try:
+    from jax import export as _jexp
+    _jexp.register_namedtuple_serialization(
+        LineArrays, serialized_name="tpu_zkpool.LineArrays")
+except (ImportError, AttributeError):   # older jax: AOT path degrades
+    pass
+
+
 def _coeffs_dbl(t):
     """(alpha_neg, beta) of the tangent line at t; new t = 2t."""
     tx, ty = t
